@@ -1,0 +1,82 @@
+"""FASTA/FASTQ reading (kseq-equivalent, software/main.cpp:31,413-466).
+
+Plain and gzip-compressed files.  Yields (name, sequence-bytes) pairs; the
+name is the first whitespace-delimited token of the header, matching kseq's
+``name`` field used for Read.description (software/main.cpp:434,666).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, Tuple
+
+import numpy as np
+
+
+def _open_maybe_gzip(path: str):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
+def iter_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Iterate (name, seq_bytes).  Supports FASTA ('>') and FASTQ ('@')."""
+    with _open_maybe_gzip(path) as fh:
+        reader = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
+        name = None
+        chunks: list[bytes] = []
+        fastq_state = 0  # 0: not fastq; 1: in seq; 2: skip plus/qual
+        for raw in reader:
+            line = raw.rstrip(b"\r\n")
+            if not line:
+                continue
+            lead = line[:1]
+            if lead == b">" or lead == b"@":
+                if name is not None:
+                    yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
+                name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                chunks = []
+                fastq_state = 1 if lead == b"@" else 0
+            elif lead == b"+" and fastq_state == 1:
+                # FASTQ separator: emit record, then skip quality lines until
+                # the next '@' header.
+                if name is not None:
+                    yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
+                name = None
+                chunks = []
+                fastq_state = 2
+            else:
+                if fastq_state != 2:
+                    chunks.append(line)
+        if name is not None:
+            yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
+
+
+def load_genome(path: str, min_len: int = 64):
+    """Load a reference FASTA into a GenomeStore.
+
+    Sequences of length <= min_len are skipped; note the reference *stops
+    reading entirely* at the first such sequence (software/main.cpp:428-465
+    returns false from the source node), which looks unintentional — we skip
+    and continue, documenting the divergence.
+    """
+    from darwin_tpu.genome import GenomeStore
+
+    store = GenomeStore()
+    for name, seq in iter_fasta(path):
+        if len(seq) > min_len:
+            store.add_chromosome(name, seq)
+    return store.finalize()
+
+
+def load_reads(path: str, min_len: int = 64):
+    """Load reads; reads of length <= min_len are skipped
+    (software/main.cpp:655)."""
+    from darwin_tpu.genome import make_read
+
+    return [make_read(name, seq) for name, seq in iter_fasta(path)
+            if len(seq) > min_len]
