@@ -1,0 +1,114 @@
+"""Seed position table: k-mer hash -> sorted reference positions.
+
+Replaces the reference's CSR bucket table (SeedPosTable,
+software/seed_pos_table.cpp:40-240).  The reference materializes a
+4^k+1-entry bucket-offset array (~1 GiB at k=14); we instead keep the
+emitted (hash, position) pairs sorted by (hash, position) and resolve bucket
+ranges with a vectorized binary search at query time — identical bucket
+contents and identical ascending position order (the reference's parallel
+scatter is order-nondeterministic but each queried bucket is then sorted by
+position, software/seed_pos_table.cpp:166-174), at a fraction of the HBM
+footprint.
+
+Buckets with occupancy > kmer_max_occurence are *kept* but skipped at query
+time, exactly like the reference (skip at software/seed_pos_table.cpp:314;
+kmer_max_occurence = seed_occurence_multiple * (1 + ref_len >> 2k), :55).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from darwin_tpu.genome import GenomeStore
+from darwin_tpu.index.minimizers import minimizer_scan
+
+
+@dataclasses.dataclass
+class SeedTable:
+    sorted_hashes: jnp.ndarray   # (N,) uint32, ascending
+    positions: jnp.ndarray       # (N,) uint32, ascending within equal hash
+    kmer_size: int
+    minimizer_window: int
+    ref_size: int                # full coordinate-space size (incl. guard)
+    kmer_max_occurence: int
+
+    @property
+    def num_seeds(self) -> int:
+        return int(self.sorted_hashes.shape[0])
+
+    def save(self, path: str):
+        """Persist the index (no reference equivalent — the reference
+        rebuilds from FASTA every run; SURVEY.md section 5 'checkpoint')."""
+        np.savez_compressed(
+            path,
+            hashes=np.asarray(self.sorted_hashes),
+            positions=np.asarray(self.positions),
+            meta=np.array([self.kmer_size, self.minimizer_window,
+                           self.ref_size, self.kmer_max_occurence],
+                          dtype=np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SeedTable":
+        z = np.load(path)
+        k, w, ref_size, maxocc = (int(x) for x in z["meta"])
+        return cls(
+            sorted_hashes=jnp.asarray(z["hashes"]),
+            positions=jnp.asarray(z["positions"]),
+            kmer_size=k, minimizer_window=w,
+            ref_size=ref_size, kmer_max_occurence=maxocc,
+        )
+
+
+def build_seed_table(store: GenomeStore, cfg) -> SeedTable:
+    """Build the table from a finalized GenomeStore.
+
+    Mirrors the index phase (software/main.cpp:307-509): per-chromosome
+    minimizer scans (emission state resets per chromosome), positions are
+    absolute coordinates (local p + chromosome start, software/main.cpp:340).
+    """
+    k, w = cfg.seed_size, cfg.minimizer_window
+    assert 3 < k <= 15, "reference constraint (software/main.cpp:310-311)"
+    codes2 = store.codes2
+    all_hashes = []
+    all_pos = []
+    for chrom in store.chromosomes:
+        c2 = codes2[chrom.start:chrom.start + chrom.length]
+        m, emit = minimizer_scan(
+            jnp.asarray(c2[None, :]),
+            jnp.asarray([chrom.length_unpadded], jnp.int32), k, w)
+        m = np.asarray(m[0])
+        emit = np.asarray(emit[0])
+        p = np.nonzero(emit)[0]
+        all_hashes.append(m[p])
+        all_pos.append((p + chrom.start).astype(np.uint32))
+    hashes = np.concatenate(all_hashes) if all_hashes else np.zeros(0, np.uint32)
+    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
+    key = (hashes.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
+    order = np.argsort(key, kind="stable")
+    return SeedTable(
+        sorted_hashes=jnp.asarray(hashes[order]),
+        positions=jnp.asarray(pos[order]),
+        kmer_size=k,
+        minimizer_window=w,
+        ref_size=store.size,
+        kmer_max_occurence=cfg.kmer_max_occurence(store.size),
+    )
+
+
+def build_read_seed_table(reads, cfg) -> tuple[SeedTable, "GenomeStore"]:
+    """Overlap (de-novo) mode: index the reads themselves.
+
+    The reference runs the same index phase on the reads file passed as the
+    'reference' argument (software/README.md:25-27 — overlap mode invokes
+    Darwin with reads as both inputs).  We build a GenomeStore over the reads
+    so coordinates/guards match.
+    """
+    store = GenomeStore()
+    for r in reads:
+        store.add_chromosome(r.name, r.seq)
+    store.finalize()
+    return build_seed_table(store, cfg), store

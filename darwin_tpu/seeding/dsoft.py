@@ -1,0 +1,144 @@
+"""D-SOFT seeding on device.
+
+Implements SeedPosTable::DSOFT (software/seed_pos_table.cpp:252-553) as a
+single batched, statically-shaped XLA program per read batch:
+
+1. minimizer scan over the query (:261-265),
+2. stride schedule over the minimizer ordinal (:304-335): minimizers with
+   ordinal <= N+1 are queried; in reference-guided mode every max_stride-th
+   after that; in overlap mode none after,
+3. bucket lookup with the occupancy skip (:311-314), hits kept when
+   hit >= query offset (:318), bin = (hit - offset) / bin_size (:319),
+4. stable sort of hits by (bin, offset) (:337, CompareHits compares the
+   packed (bin<<32)|offset key, stable within),
+5. per-bin unique-base counting with one anchor per bin at the threshold
+   crossing (:356-389): the count starts at kmer_size for a new bin and adds
+   min(offset_delta, kmer_size) per subsequent hit while below threshold.
+
+Chaining (:394-498) runs on the host over the sorted hits (seeding/chain.py).
+
+``max_candidates`` is deliberately NOT enforced: the reference's check reads
+a counter that is never incremented (:369,382 with num_candidates fixed at
+0), so it never fires.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from darwin_tpu.index.minimizers import minimizer_scan
+
+I32MAX = np.int32(2**31 - 1)
+
+
+def mq_cap_for(pcap: int, num_seeds: int, max_stride: int,
+               overlap: bool) -> int:
+    """Static bound on the number of queried minimizers."""
+    base = num_seeds + 2
+    if overlap:
+        return min(pcap, base)
+    return min(pcap, base + (max(pcap - base, 0) + max_stride - 1) // max_stride)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "num_seeds", "max_stride", "overlap",
+                     "threshold", "bin_size", "max_occ", "mq_cap", "a_cap"))
+def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
+                 k, w, num_seeds, max_stride, overlap, threshold,
+                 bin_size, max_occ, mq_cap, a_cap):
+    """Batched D-SOFT hit generation + anchor selection.
+
+    codes2 : (B, Lcap) uint8 2-bit query codes (row-padded with 0)
+    lengths: (B,) int32
+    sorted_hashes/positions: the SeedTable arrays.
+
+    Returns dict of device arrays:
+      hits_bin/hits_off/hits_pos : (B, H) int32 sorted hits (invalid tail
+                                   has bin == I32MAX)
+      n_hits                     : (B,) int32
+      anc_pos/anc_off/anc_bin    : (B, a_cap) int32 anchors in bin order
+      n_anchors                  : (B,) int32
+      n_queried_buckets          : (B,) int32 (the reference's num_seeds stat)
+    """
+    B, Lcap = codes2.shape
+    m, emit = minimizer_scan(codes2, lengths, k, w)
+    P = m.shape[1]
+
+    ordinal = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    nq = jnp.int32(num_seeds)
+    q_rule = ordinal <= nq + 1
+    if not overlap:
+        q_rule = q_rule | (((ordinal - (nq + 1)) % max_stride) == 0)
+    queried = emit & q_rule
+
+    # compact queried minimizers (position order == ordinal order)
+    p_idx = jnp.arange(P, dtype=jnp.int32)[None, :].repeat(B, 0)
+    key = jnp.where(queried, p_idx, I32MAX)
+    skey, sm = jax.lax.sort((key, m.astype(jnp.int32)), num_keys=1,
+                            is_stable=True)
+    offs = skey[:, :mq_cap]                       # query offsets (positions)
+    qhash = sm[:, :mq_cap].astype(jnp.uint32)
+    slot_ok = offs < I32MAX
+
+    start = jnp.searchsorted(sorted_hashes, qhash, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_hashes, qhash, side="right").astype(jnp.int32)
+    cnt = end - start
+    bucket_ok = slot_ok & (cnt <= max_occ)
+
+    n = positions.shape[0]
+    t = jnp.arange(max_occ, dtype=jnp.int32)
+    gidx = jnp.clip(start[:, :, None] + t[None, None, :], 0, max(n - 1, 0))
+    pos = jnp.take(positions, gidx).astype(jnp.int32)      # (B, mq, occ)
+    hit_ok = (bucket_ok[:, :, None]
+              & (t[None, None, :] < cnt[:, :, None])
+              & (pos >= offs[:, :, None]))
+    bins = jnp.where(hit_ok, (pos - offs[:, :, None]) // bin_size, I32MAX)
+
+    H = mq_cap * max_occ
+    binf = bins.reshape(B, H)
+    offf = jnp.broadcast_to(offs[:, :, None], bins.shape).reshape(B, H)
+    posf = pos.reshape(B, H)
+    okf = hit_ok.reshape(B, H).astype(jnp.int32)
+
+    # stable sort by (bin, offset); equal pairs keep insertion order
+    # (minimizer ordinal, bucket slot) like std::stable_sort on the packed
+    # key (software/seed_pos_table.cpp:337,42-45)
+    sbin, soff, spos, sok = jax.lax.sort(
+        (binf, offf, posf, okf), num_keys=2, is_stable=True)
+    n_hits = jnp.sum(okf, axis=1)
+
+    # ---- per-bin counting (software/seed_pos_table.cpp:352-389) ----
+    prev_bin = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), sbin[:, :-1]], axis=1)
+    prev_off = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), soff[:, :-1]], axis=1)
+    valid = sok == 1
+    first = valid & (sbin != prev_bin)
+    delta = soff - prev_off
+    inc = jnp.where(first, k, jnp.minimum(delta, k)) * valid
+    c = jnp.cumsum(inc, axis=1)
+    base = jax.lax.cummax(jnp.where(first, c - inc, 0), axis=1)
+    s = c - base
+    cross = valid & (s >= threshold) & ((s - inc) < threshold)
+
+    # compact anchors (bin-ascending order preserved)
+    aidx = jnp.arange(H, dtype=jnp.int32)[None, :].repeat(B, 0)
+    akey = jnp.where(cross, aidx, I32MAX)
+    akey_s, apos, aoff, abin = jax.lax.sort(
+        (akey, spos, soff, sbin), num_keys=1, is_stable=True)
+    n_anchors = jnp.sum(cross.astype(jnp.int32), axis=1)
+
+    return {
+        "hits_bin": sbin, "hits_off": soff, "hits_pos": spos,
+        "n_hits": n_hits,
+        "anc_pos": apos[:, :a_cap], "anc_off": aoff[:, :a_cap],
+        "anc_bin": abin[:, :a_cap],
+        "n_anchors": jnp.minimum(n_anchors, a_cap),
+        "n_anchors_raw": n_anchors,
+        "n_queried_buckets": jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
+    }

@@ -1,0 +1,89 @@
+"""Seeder stage: batched D-SOFT over reads, both strands.
+
+Replaces seeder_body (software/seeder.cpp:6-47): instead of a
+parallel_for_each over reads each calling a scalar DSOFT, all reads of a
+batch (forward and reverse-complement rows together) go through ONE device
+dispatch; chaining runs on the host per anchor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from darwin_tpu import genome as G
+from darwin_tpu.index.seed_table import SeedTable
+from darwin_tpu.seeding import chain
+from darwin_tpu.seeding.dsoft import dsoft_device, mq_cap_for
+
+
+def _round_up_pow2(x: int, floor: int = 512) -> int:
+    n = floor
+    while n < x:
+        n *= 2
+    return n
+
+
+@dataclasses.dataclass
+class SeedResult:
+    fw_anchors: List[List[chain.Anchor]]  # per read
+    rc_anchors: List[List[chain.Anchor]]
+    n_queried_buckets: int
+
+
+class Seeder:
+    def __init__(self, table: SeedTable, cfg, a_cap: int = 8192):
+        self.table = table
+        self.cfg = cfg
+        self.a_cap = a_cap
+        self.max_occ = (cfg.max_bucket_occupancy
+                        or table.kmer_max_occurence)
+
+    def seed_batch(self, reads) -> SeedResult:
+        cfg = self.cfg
+        if not reads:
+            return SeedResult([], [], 0)
+        max_len = max(r.length for r in reads)
+        lcap = _round_up_pow2(((max_len + 15) // 16) * 16)
+        B = 2 * len(reads)
+        codes2 = np.zeros((B, lcap), np.uint8)
+        lengths = np.zeros(B, np.int32)
+        for i, r in enumerate(reads):
+            codes2[2 * i, :r.length] = G.encode2(r.seq)
+            codes2[2 * i + 1, :r.length] = G.encode2(r.rc_seq)
+            lengths[2 * i] = lengths[2 * i + 1] = r.length
+
+        pcap = lcap - cfg.seed_size + 1
+        mq_cap = mq_cap_for(pcap, cfg.num_seeds, cfg.max_stride,
+                            cfg.do_overlap)
+        res = dsoft_device(
+            jnp.asarray(codes2), jnp.asarray(lengths),
+            self.table.sorted_hashes, self.table.positions,
+            k=cfg.seed_size, w=cfg.minimizer_window,
+            num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+            overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
+            bin_size=cfg.bin_size, max_occ=self.max_occ,
+            mq_cap=mq_cap, a_cap=min(self.a_cap, mq_cap * self.max_occ))
+        res = {k: np.asarray(v) for k, v in res.items()}
+
+        if (res["n_anchors_raw"] > self.a_cap).any():
+            raise RuntimeError(
+                f"anchor capacity {self.a_cap} exceeded "
+                f"(max {int(res['n_anchors_raw'].max())}); raise a_cap")
+
+        fw, rc = [], []
+        for i in range(len(reads)):
+            per_strand = []
+            for row in (2 * i, 2 * i + 1):
+                per_strand.append(chain.chain_anchors(
+                    res["hits_bin"][row], res["hits_off"][row],
+                    res["hits_pos"][row], int(res["n_hits"][row]),
+                    res["anc_pos"][row], res["anc_off"][row],
+                    res["anc_bin"][row], int(res["n_anchors"][row]),
+                    cfg.bin_size, cfg.do_overlap))
+            fw.append(per_strand[0])
+            rc.append(per_strand[1])
+        return SeedResult(fw, rc, int(res["n_queried_buckets"].sum()))

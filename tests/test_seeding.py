@@ -1,0 +1,115 @@
+"""Device minimizer scan / seed table / D-SOFT vs the sequential reference
+transcription."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from darwin_tpu.config import Config
+from darwin_tpu import genome as G
+from darwin_tpu.genome import GenomeStore, make_read
+from darwin_tpu.index.minimizers import minimizer_scan
+from darwin_tpu.index.seed_table import build_seed_table
+from darwin_tpu.seeding.seeder import Seeder
+from tests import dsoft_ref as R
+
+
+def small_cfg():
+    cfg = Config()
+    cfg.seed_size = 7
+    cfg.minimizer_window = 3
+    cfg.bin_size = 16
+    cfg.dsoft_threshold = 14
+    cfg.num_seeds = 20
+    cfg.max_stride = 4
+    cfg.seed_occurence_multiple = 40
+    return cfg
+
+
+def _random_genome(rng, n):
+    return rng.choice(list(b"ACGT"), size=n).astype(np.uint8)
+
+
+@pytest.mark.parametrize("w", [3, 5, 7])
+def test_minimizer_scan_matches_reference(rng, w):
+    k = 7
+    for L in [70, 100, 256, 131]:
+        seq = _random_genome(rng, L)
+        lcap = ((L + 15) // 16) * 16
+        c2 = np.zeros(lcap, np.uint8)
+        c2[:L] = G.encode2(seq)
+        m, emit = minimizer_scan(jnp.asarray(c2[None]),
+                                 jnp.asarray([L], np.int32), k, w)
+        m, emit = np.asarray(m[0]), np.asarray(emit[0])
+        got = [(int(p), int(m[p])) for p in np.nonzero(emit)[0]]
+        want = R.ref_minimizers(c2, L, k, w)
+        assert got == want
+
+
+def test_seed_table_matches_reference(rng):
+    cfg = small_cfg()
+    store = GenomeStore()
+    for i in range(3):
+        store.add_chromosome(f"chr{i}", _random_genome(rng, 400 + 37 * i))
+    store.finalize()
+    table = build_seed_table(store, cfg)
+    # rebuild expectation sequentially
+    exp = []
+    for c in store.chromosomes:
+        c2 = store.codes2[c.start:c.start + c.length]
+        for p, m in R.ref_minimizers(c2, c.length_unpadded,
+                                     cfg.seed_size, cfg.minimizer_window):
+            exp.append((m, p + c.start))
+    exp.sort()
+    got = list(zip(np.asarray(table.sorted_hashes).tolist(),
+                   np.asarray(table.positions).tolist()))
+    assert got == exp
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_dsoft_matches_reference(rng, overlap):
+    cfg = small_cfg()
+    cfg.do_overlap = overlap
+    store = GenomeStore()
+    base = _random_genome(rng, 1200)
+    store.add_chromosome("chrA", base)
+    store.add_chromosome("chrB", _random_genome(rng, 700))
+    store.finalize()
+    table = build_seed_table(store, cfg)
+    th = np.asarray(table.sorted_hashes)
+    tp = np.asarray(table.positions)
+
+    # reads: noisy copies of genome slices (fw and rc covered via Seeder)
+    reads = []
+    for i in range(4):
+        start = int(rng.integers(0, 900))
+        ln = int(rng.integers(150, 300))
+        sl = base[start:start + ln].copy()
+        mut = rng.random(len(sl)) < 0.05
+        sl[mut] = rng.choice(list(b"ACGT"), size=mut.sum())
+        reads.append(make_read(f"read{i}", sl))
+
+    seeder = Seeder(table, cfg)
+    result = seeder.seed_batch(reads)
+
+    for i, read in enumerate(reads):
+        for anchors, seq in ((result.fw_anchors[i], read.seq),
+                             (result.rc_anchors[i], read.rc_seq)):
+            L = len(seq)
+            lcap = ((L + 15) // 16) * 16
+            c2 = np.zeros(lcap, np.uint8)
+            c2[:L] = G.encode2(seq)
+            hits, ancs, _ = R.ref_dsoft_hits_and_anchors(
+                c2, L, th, tp, k=cfg.seed_size, w=cfg.minimizer_window,
+                num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+                overlap=overlap, threshold=cfg.dsoft_threshold,
+                bin_size=cfg.bin_size, max_occ=table.kmer_max_occurence)
+            want = R.ref_chain(hits, ancs, cfg.bin_size, overlap)
+            assert len(anchors) == len(want), (i, len(anchors), len(want))
+            for got_a, want_a in zip(anchors, want):
+                assert got_a.hit == want_a["hit"]
+                assert got_a.offset == want_a["offset"]
+                assert got_a.num_chained_hits == want_a["num_chained"]
+                assert got_a.anchor_score == want_a["score"]
+                assert got_a.left_chained.tolist() == want_a["left"]
+                assert got_a.right_chained.tolist() == want_a["right"]
