@@ -1,0 +1,72 @@
+"""Multi-chip sharding of the alignment pipeline.
+
+The reference is single-process (SURVEY.md section 2.4: no distributed
+backend exists; the Bond ABI marks a host->accelerator seam).  On TPU the
+scaling axes are:
+
+* ``data`` — reads, and therefore tiles/anchors derived from them, shard
+  across devices.  Every batched kernel (D-SOFT, first tiles, GACT extend
+  tiles) is embarrassingly parallel over its batch dimension, so sharding
+  in_specs on the batch axis lets XLA run each shard locally with zero
+  communication in the hot loop.
+* the seed table and genome are replicated when they fit (yeast/human easily
+  fit one v5 HBM); hash-range sharding with all-to-all hit exchange is the
+  planned extension for >HBM genomes.
+* result reduction (counters, stats) uses psum over the mesh.
+
+All entry points here are mesh-agnostic: build a mesh with ``make_mesh`` (on
+CPU tests an 8-device virtual mesh) and pass it in.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from darwin_tpu.ops import gact
+from darwin_tpu.ops.dispatch import gather_tiles
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
+    """Place arrays with their leading (batch) dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def replicate(mesh: Mesh, *arrays):
+    sharding = NamedSharding(mesh, P())
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb"))
+def _extend_step(ref_codes, query_codes, r_start, r_size, q_start, q_size,
+                 rev, params, qt, rt, max_tb):
+    qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
+                                q_start, q_size, rev, qt, rt)
+    res = gact.align_and_traceback(
+        qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
+        jnp.ones(r_start.shape, bool), params, max_tb)
+    return res
+
+
+def sharded_extend_tiles(mesh: Mesh, ref_codes, query_codes, r_start, r_size,
+                         q_start, q_size, rev, params, *, qt, rt, max_tb):
+    """Run one batched GACT tile step with the tile batch sharded over the
+    mesh and the sequence buffers replicated.  XLA compiles this to fully
+    local per-device work (batch-dim sharding propagates through gather,
+    scan, and the traceback while_loop)."""
+    (ref_codes, query_codes) = replicate(mesh, ref_codes, query_codes)
+    (r_start, r_size, q_start, q_size, rev) = shard_batch(
+        mesh, r_start, r_size, q_start, q_size, rev)
+    return _extend_step(ref_codes, query_codes, r_start, r_size, q_start,
+                        q_size, rev, params, qt, rt, max_tb)

@@ -1,0 +1,175 @@
+"""End-to-end alignment driver (replaces software/main.cpp's two TBB flow
+graphs with batched device dispatches).
+
+Index phase : load reference FASTA -> GenomeStore -> SeedTable (device).
+Align phase : per read batch: Seeder (device D-SOFT) -> filter (device
+first tiles + slope filter) -> ExtensionManager (device GACT tiles) ->
+printer (SAM or MHAP).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+from darwin_tpu.config import Config
+from darwin_tpu.genome import GenomeStore, Read, encode5
+from darwin_tpu.index.seed_table import SeedTable, build_seed_table
+from darwin_tpu.io.fasta import load_genome, load_reads
+from darwin_tpu.ops import gact
+from darwin_tpu.ops.dispatch import first_tile_scores
+from darwin_tpu.pipeline import filter as flt
+from darwin_tpu.pipeline import printer
+from darwin_tpu.pipeline.extend import ExtensionManager
+from darwin_tpu.seeding.seeder import Seeder
+
+
+def new_counters():
+    return {
+        "num_reads": 0,
+        "num_filter_tiles": 0,
+        "num_extend_requests": 0,
+        "num_slope_filtered": 0,
+        "num_extend_tiles": 0,
+        "num_active_tiles": 0,
+        "num_large_tiles": 0,
+    }
+
+
+class Aligner:
+    def __init__(self, cfg: Config, store: GenomeStore,
+                 table: SeedTable | None = None):
+        self.cfg = cfg
+        self.store = store
+        self.table = table or build_seed_table(store, cfg)
+        self.seeder = Seeder(self.table, cfg)
+        self.params = gact.make_params(cfg)
+        self.counters = new_counters()
+        self._ref_codes = None
+
+    def _ref_codes_dev(self):
+        if self._ref_codes is None:
+            self._ref_codes = jnp.asarray(encode5(self.store.bases))
+        return self._ref_codes
+
+    def _filter_strand(self, reads, anchors_per_read, strand):
+        """Run first tiles for one strand; returns slope-filtered locations
+        (software/filter.cpp:8-228)."""
+        cfg = self.cfg
+        batch = flt.build_first_tiles(reads, anchors_per_read,
+                                      0 if strand == "+" else 1,
+                                      self.store, cfg)
+        n = len(batch.meta)
+        self.counters["num_filter_tiles"] += n
+        if n == 0:
+            return []
+        # strand-local query buffer for the whole batch
+        seqs = [(r.seq if strand == "+" else r.rc_seq) for r in reads]
+        offs = np.zeros(len(reads), np.int64)
+        pos = 0
+        for i, s in enumerate(seqs):
+            offs[i] = pos
+            pos += len(s)
+        qbuf = np.concatenate(seqs) if seqs else np.zeros(1, np.uint8)
+        q_start = batch.q_start.copy()
+        for i, (read_num, *_rest) in enumerate(batch.meta):
+            q_start[i] += offs[read_num]
+
+        T = cfg.first_tile_size
+        bp = max(8, 1 << (n - 1).bit_length())
+        rs = np.zeros(bp, np.int64)
+        rs[:n] = batch.r_start
+        rsz = np.ones(bp, np.int32)
+        rsz[:n] = batch.r_size
+        qs = np.zeros(bp, np.int64)
+        qs[:n] = q_start
+        qsz = np.ones(bp, np.int32)
+        qsz[:n] = batch.q_size
+        res = first_tile_scores(
+            self._ref_codes_dev(), jnp.asarray(encode5(qbuf)),
+            jnp.asarray(rs), jnp.asarray(rsz), jnp.asarray(qs),
+            jnp.asarray(qsz), self.params, qt=T, rt=T)
+        scores = np.asarray(res["score"])[:n]
+        rmax = np.asarray(res["ref_max_pos"])[:n]
+        qmax = np.asarray(res["query_max_pos"])[:n]
+        self.counters["num_extend_requests"] += int(
+            (scores >= cfg.first_tile_score_threshold).sum())
+        locs = flt.collect_locations(batch, scores, rmax, qmax, reads,
+                                     self.store, cfg)
+        return flt.slope_filter(locs, cfg, self.counters)
+
+    def align_batch(self, reads: List[Read]) -> List[str]:
+        """Seed, filter, extend, and print one batch of reads."""
+        cfg = self.cfg
+        self.counters["num_reads"] += len(reads)
+        seeded = self.seeder.seed_batch(reads)
+        fw_locs = self._filter_strand(reads, seeded.fw_anchors, "+")
+        rc_locs = self._filter_strand(reads, seeded.rc_anchors, "-")
+
+        # group per read, per strand (fw then rc), preserving slope-filter
+        # order within the group — the reference's effective one-read batches
+        groups = []
+        for i in range(len(reads)):
+            groups.append((i, "+", [l for l in fw_locs if l.read_num == i]))
+            groups.append((i, "-", [l for l in rc_locs if l.read_num == i]))
+
+        mgr = ExtensionManager(self.store, reads, cfg, self.params)
+        emitted = mgr.run(groups, reads, self.counters)
+
+        # per read: fw emissions then rc emissions (extender_body order)
+        alignments = []
+        for i in range(len(reads)):
+            alignments.extend(emitted[2 * i])
+            alignments.extend(emitted[2 * i + 1])
+
+        if cfg.do_overlap:
+            return printer.mhap_lines(alignments, reads, self.store, cfg)
+        return printer.sam_lines(alignments, reads, self.store)
+
+
+def run(ref_path: str, reads_path: str, do_overlap: bool,
+        cfg: Config | None = None, out=None, err=None,
+        reads_per_batch: int = 16) -> None:
+    out = out or sys.stdout
+    err = err or sys.stderr
+    cfg = cfg or Config()
+    cfg.do_overlap = do_overlap
+
+    print("Loading reference genome ...", file=err)
+    t0 = time.time()
+    store = load_genome(ref_path)
+    print(f"Reference length: {store.size}", file=err)
+    print(f"Time elapsed (loading reference): "
+          f"{int((time.time() - t0) * 1000)} msec", file=err)
+
+    print("Finalizing seed position table ...", file=err)
+    t0 = time.time()
+    aligner = Aligner(cfg, store)
+    print(f"Time elapsed (finalizing seed position table): "
+          f"{int((time.time() - t0) * 1000)} msec", file=err)
+
+    print("Aligning reads ...", file=err)
+    t0 = time.time()
+    reads = load_reads(reads_path)
+    header_done = False
+    for b in range(0, len(reads), reads_per_batch):
+        batch = reads[b:b + reads_per_batch]
+        lines = aligner.align_batch(batch)
+        if lines and not do_overlap and not header_done:
+            out.write(printer.sam_header(store))
+            header_done = True
+        out.writelines(lines)
+    c = aligner.counters
+    print(f"#reads: {c['num_reads']}", file=err)
+    print(f"#filter tiles: {c['num_filter_tiles']}", file=err)
+    print(f"#extend requests: {c['num_extend_requests']}", file=err)
+    print(f"#slope filtered: {c['num_slope_filtered']}", file=err)
+    print(f"#extend tiles: {c['num_extend_tiles']}", file=err)
+    print(f"#active tiles: {c['num_active_tiles']}", file=err)
+    print(f"#large tiles: {c['num_large_tiles']}", file=err)
+    print(f"Time elapsed (aligning reads): "
+          f"{int((time.time() - t0) * 1000)} msec", file=err)

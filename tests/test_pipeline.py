@@ -1,0 +1,173 @@
+"""End-to-end pipeline tests on a small synthetic genome plus unit checks of
+extender quirks against literal transcriptions of the C++ loops."""
+
+import io
+import re
+
+import numpy as np
+import pytest
+
+from darwin_tpu.config import Config
+from darwin_tpu.genome import GenomeStore
+from darwin_tpu.ops import oracle as orc
+from darwin_tpu.pipeline.align import Aligner
+from darwin_tpu.pipeline.extend import _Ext, alignment_score
+from darwin_tpu.pipeline.filter import ExtendLocation
+from darwin_tpu.utils.simulate import simulate_reads
+from darwin_tpu.genome import make_read
+
+
+def pipeline_cfg():
+    cfg = Config()
+    # small-genome-friendly D-SOFT (defaults need k=14 tables; fine but
+    # slower to build in tests), keep GACT defaults
+    cfg.seed_size = 10
+    cfg.dsoft_threshold = 20
+    cfg.bin_size = 64
+    cfg.min_overlap = 400
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    rng = np.random.default_rng(42)
+    store = GenomeStore()
+    store.add_chromosome("chrA",
+                         rng.choice(list(b"ACGT"), size=20000).astype(np.uint8))
+    store.add_chromosome("chrB",
+                         rng.choice(list(b"ACGT"), size=9000).astype(np.uint8))
+    store.finalize()
+    return store
+
+
+def test_end_to_end_sam(small_world):
+    cfg = pipeline_cfg()
+    store = small_world
+    sim = simulate_reads(store, 8, 2000, seed=1)
+    reads = [make_read(n, s) for n, s, _ in sim]
+    aligner = Aligner(cfg, store)
+    lines = aligner.align_batch(reads)
+    assert lines, "no alignments produced"
+
+    mapped = {}
+    for ln in lines:
+        f = ln.rstrip("\n").split("\t")
+        qname, flag, rname, pos, mapq, cigar = \
+            f[0], int(f[1]), f[2], int(f[3]), int(f[4]), f[5]
+        assert mapq == 60
+        assert flag & 64
+        # CIGAR consumes exactly the read
+        ops = re.findall(r"(\d+)([SMID])", cigar)
+        qlen = sum(int(n) for n, op in ops if op in "SMI")
+        read = next(r for r in reads if r.name == qname)
+        assert qlen == read.length, (qname, cigar)
+        if qname not in mapped:
+            mapped[qname] = (rname, pos, "-" if flag & 16 else "+", cigar)
+
+    truth = {n: t for n, _, t in sim}
+    hits = 0
+    for qname, (rname, pos, strand, cigar) in mapped.items():
+        chr_name, start0, true_strand = truth[qname]
+        if rname == chr_name and strand == true_strand:
+            # primary alignment position within a few hundred bp of truth
+            if abs((pos - 1) - start0) < 500 or true_strand == "-":
+                hits += 1
+    assert hits >= len(mapped) * 0.8
+    assert len(mapped) >= 6  # most reads align
+
+
+def test_end_to_end_overlap_mode(small_world):
+    """De-novo overlap mode: reads vs reads."""
+    cfg = pipeline_cfg()
+    cfg.do_overlap = True
+    cfg.min_overlap = 500
+    rng = np.random.default_rng(3)
+    # two overlapping reads from chrA + one unrelated
+    base = small_world.bases[
+        small_world.chromosomes[0].start:small_world.chromosomes[0].start + 6000]
+    r1 = base[0:3000]
+    r2 = base[1500:4500]
+    r3 = rng.choice(list(b"ACGT"), size=3000).astype(np.uint8)
+    reads = [make_read("r1", r1), make_read("r2", r2), make_read("r3", r3)]
+
+    read_store = GenomeStore()
+    for r in reads:
+        read_store.add_chromosome(r.name, r.seq)
+    read_store.finalize()
+    aligner = Aligner(cfg, read_store)
+    lines = aligner.align_batch(reads)
+    recs = [l for l in lines if not set(l.strip()) <= set("ACGTN-")]
+    assert any(l.startswith("r1 r2") or l.startswith("r2 r1") for l in recs)
+    assert not any("r3" in l.split()[:2] and ("r1" in l.split()[:2]
+                                              or "r2" in l.split()[:2])
+                   for l in recs)
+
+
+def _applied_ops_literal(ops, stop_thr):
+    """Literal transcription of the decode loop (extender.cpp:280-331)."""
+    out = []
+    num = 0
+    total = len(ops)
+    for t in range(0, total, 32):
+        num_p = min(total - t, 32)
+        for p in range(num_p):
+            op = ops[t + p]
+            out.append(op)
+            num += 1
+            if num >= stop_thr and op == orc.OP_M:
+                break
+    return out
+
+
+def test_applied_ops_quirk(rng):
+    ext = object.__new__(_Ext)
+    for trial in range(30):
+        n = int(rng.integers(0, 120))
+        ops = rng.choice([orc.OP_M, orc.OP_I, orc.OP_D],
+                         p=[0.7, 0.15, 0.15], size=n).astype(np.uint8)
+        thr = int(rng.integers(1, 80))
+        got = ext._applied_ops(ops, thr).tolist()
+        assert got == _applied_ops_literal(list(ops), thr), (n, thr)
+
+
+def _alignment_score_literal(ref, q, cfg):
+    """Literal transcription of AlignmentScore (extender.cpp:1161-1200)."""
+    score = 0
+    open_ = 0
+    sgp = 0
+    lgp = 0
+    sub5 = cfg.sub_matrix_5x5
+    code = {**{c: i for i, c in enumerate("ACGT")}, "N": 4, "-": 5}
+    for r, qq in zip(ref, q):
+        if r == "-" or qq == "-":
+            sgp += cfg.gap_extend if open_ else cfg.gap_open
+            lgp += cfg.long_gap_extend if open_ else cfg.long_gap_open
+            open_ = 1
+        else:
+            rn, qn = code.get(r.upper(), 4), code.get(qq.upper(), 4)
+            if rn <= 3 and qn <= 3:
+                score += sub5[qn][rn]
+            else:
+                score += cfg.gact_sub_mat[10]
+            score += max(sgp, lgp)
+            open_ = 0
+            sgp = 0
+            lgp = 0
+    return score
+
+
+def test_alignment_score_matches_literal(rng):
+    cfg = Config()
+    alpha = list("ACGTN-")
+    for trial in range(25):
+        n = int(rng.integers(0, 60))
+        ref = "".join(rng.choice(alpha, size=n))
+        q = []
+        for c in ref:
+            q.append(rng.choice(list("ACGTN")) if c == "-"
+                     else rng.choice(list("ACGTN-")))
+        q = "".join(q)
+        got = alignment_score(
+            np.frombuffer(ref.encode(), np.uint8),
+            np.frombuffer(q.encode(), np.uint8), cfg)
+        assert got == _alignment_score_literal(ref, q, cfg), (ref, q)
