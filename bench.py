@@ -1,11 +1,14 @@
-"""Benchmark: GACT tile DP throughput (GCUPS) on the available device.
+"""Benchmark: GACT tile DP + traceback throughput (GCUPS).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the project north-star target of
-100 GCUPS/chip (BASELINE.json; the reference repo publishes no numbers,
-BASELINE.md).  GCUPS = batch * ref_size * query_size / kernel_seconds,
-counting every DP cell of the dispatch (including traceback + trace-matrix
-materialization — the full production path, not a stripped DP loop).
+vs_baseline measures against the project north-star of 100 GCUPS/chip
+(BASELINE.json; the reference repo publishes no numbers, BASELINE.md).
+GCUPS = batch * ref_size * query_size / seconds for the FULL production
+dispatch (tile DP + trace materialization + batched traceback).
+
+Methodology notes: inputs rotate across iterations (the axon tunnel caches
+identical executions) and iterations are queued asynchronously with a single
+terminal sync (tunnel round-trips would otherwise dominate).
 """
 
 import json
@@ -25,31 +28,59 @@ def main():
     T = cfg.tile_size            # 384, the production extend-tile geometry
     platform = jax.devices()[0].platform
     B = 512 if platform != "cpu" else 32
+    NBUF = 16 if platform != "cpu" else 2
 
     rng = np.random.default_rng(0)
-    rcodes = rng.integers(0, 4, size=(B, T)).astype(np.uint8)
-    # queries = noisy copies of the refs: realistic DP work (matches + gaps)
-    qcodes = rcodes.copy()
-    sub = rng.random((B, T)) < 0.10
-    qcodes[sub] = (qcodes[sub] + rng.integers(1, 4, sub.sum())) % 4
-    qlens = np.full(B, T, np.int32)
-    rlens = np.full(B, T, np.int32)
-    start_end = np.ones(B, bool)
+    bufs = []
+    for _ in range(NBUF):
+        rcodes = rng.integers(0, 4, size=(B, T)).astype(np.uint8)
+        qcodes = rcodes.copy()
+        sub = rng.random((B, T)) < 0.10
+        qcodes[sub] = (qcodes[sub] + rng.integers(1, 4, sub.sum())) % 4
+        bufs.append((jax.device_put(qcodes), jax.device_put(rcodes)))
+    jax.block_until_ready(bufs)
+    qlens = jnp.full(B, T, jnp.int32)
+    rlens = jnp.full(B, T, jnp.int32)
+    start_end = jnp.ones(B, bool)
 
-    args = (jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
-            jnp.asarray(rlens), jnp.asarray(start_end), params)
+    # All rounds run inside ONE device program (lax.scan over stacked
+    # inputs) so host/tunnel round-trip latency cannot pollute the timing;
+    # per-round inputs differ so nothing can be memoized.
+    qstack = jnp.stack([b[0] for b in bufs])
+    rstack = jnp.stack([b[1] for b in bufs])
 
-    def step():
-        out = gact.align_and_traceback(*args, max_tb_steps=2 * T)
-        jax.block_until_ready(out["score"])
-        return out
+    @jax.jit
+    def rounds(qs, rs):
+        def body(acc, qr):
+            q, r = qr
+            out = gact.align_and_traceback(q, r, qlens, rlens, start_end,
+                                           params, 2 * T)
+            return acc + jnp.sum(out["n_ops"]) + jnp.sum(out["score"]), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, rs))
+        return acc
 
-    step()  # compile
-    iters = 10 if platform != "cpu" else 2
+    int(rounds(qstack, rstack))  # compile + warm
+
+    # second stack with different values (the tunnel caches identical calls)
+    rng2 = np.random.default_rng(1)
+    q2 = np.asarray(qstack).copy()
+    flip = rng2.random(q2.shape) < 0.05
+    q2[flip] = (q2[flip] + 1) % 4
+    q2 = jax.device_put(q2)
+    jax.block_until_ready(q2)
+
+    # estimate the host<->device round-trip floor and subtract it
+    @jax.jit
+    def tiny(x):
+        return x + 1
+    int(tiny(jnp.int32(0)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        step()
-    dt = (time.perf_counter() - t0) / iters
+    int(tiny(jnp.int32(1)))
+    rtt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sink = int(rounds(q2, rstack))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF
 
     cells = B * T * T
     gcups = cells / dt / 1e9

@@ -38,6 +38,39 @@ from darwin_tpu.ops import oracle as orc
 
 NEG = np.int32(-(1 << 28))
 
+# Compact 8-bit trace word (device layout; the reference's 13-bit one-hot
+# layout, Processor.h:17-34, is kept in the oracle for documentation and
+# converted in tests).  Bits 0-2: exclusive T field; bits 3-6: gap-source
+# "open" flags (set = the gap opened here -> traceback returns to DIAG).
+T8_ZERO = 0
+T8_DEL = 1
+T8_INS = 2
+T8_DEL_L = 3
+T8_INS_L = 4
+T8_DIAG = 5
+E_OPEN8 = 8      # E_DIAG_DEL
+F_OPEN8 = 16     # F_DIAG_INS
+EL_OPEN8 = 32    # EL_DIAG_DEL
+FL_OPEN8 = 64    # FL_DIAG_INS
+
+
+def pack_trace_word(word13: np.ndarray) -> np.ndarray:
+    """Convert reference-layout 13-bit trace words to the 8-bit device
+    layout (for oracle comparisons in tests)."""
+    w = np.asarray(word13, np.int32)
+    tf = w & 31
+    t8 = np.zeros_like(w)
+    t8 = np.where(tf == orc.T_DEL, T8_DEL, t8)
+    t8 = np.where(tf == orc.T_INS, T8_INS, t8)
+    t8 = np.where(tf == orc.T_DEL_L, T8_DEL_L, t8)
+    t8 = np.where(tf == orc.T_INS_L, T8_INS_L, t8)
+    t8 = np.where(tf == orc.T_DIAG, T8_DIAG, t8)
+    t8 |= np.where(w & orc.E_DIAG_DEL, E_OPEN8, 0)
+    t8 |= np.where(w & orc.F_DIAG_INS, F_OPEN8, 0)
+    t8 |= np.where(w & orc.EL_DIAG_DEL, EL_OPEN8, 0)
+    t8 |= np.where(w & orc.FL_DIAG_INS, FL_OPEN8, 0)
+    return t8.astype(np.uint8)
+
 
 class GactParams(NamedTuple):
     sub: jax.Array          # (5,5) int32
@@ -48,6 +81,11 @@ class GactParams(NamedTuple):
 
 
 def make_params(cfg) -> GactParams:
+    if not (cfg.gap_open <= cfg.gap_extend
+            and cfg.long_gap_open <= cfg.long_gap_extend):
+        raise NotImplementedError(
+            "scoring with gap_open > gap_extend needs the generic gap scan; "
+            "call batch_align(..., prefix_gaps=False)")
     return GactParams(
         sub=jnp.asarray(cfg.sub_matrix_5x5, jnp.int32),
         gap_open=jnp.int32(cfg.gap_open),
@@ -86,6 +124,8 @@ def _column_gap_scan(hp, go, ge, goL, geL):
         b(q) = (HpShift(q)+go, HpShift(q)+goL),  HpShift(q) = Hp(q-1), Hp(-1)=0.
 
     hp: (B, Q) int32.  Returns (F, F_L) each (B, Q).
+
+    Generic fallback (any scoring): max-plus affine associative scan.
     """
     B, Q = hp.shape
     hps = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), hp[:, :-1]], axis=1)
@@ -100,15 +140,47 @@ def _column_gap_scan(hp, go, ge, goL, geL):
     return res[4], res[5]
 
 
+def _column_gaps_prefix(hp, go, ge, goL, geL):
+    """Fast path for the within-column gap recurrence, valid whenever
+    gap_open <= gap_extend and long_gap_open <= long_gap_extend (i.e.
+    opening is never cheaper than extending — any sane scoring).
+
+    Under that condition a gap opened from a *gap-derived* H value is
+    dominated by (or ties) a single gap opened from the corresponding
+    non-gap H earlier (two opens can't beat one; a mixed long/short run
+    can't beat the better pure run).  Hence
+
+        F(q)   = go  + ge *(q-1) + max_{j=-1..q-1}(Hb(j) - ge*j)
+        F_L(q) = goL + geL*(q-1) + max_{j=-1..q-1}(Hb(j) - geL*j)
+
+    with Hb(j) = Hp(j) = max(dag, E, E_L)(j) and Hb(-1) = 0 — two plain
+    prefix maxima (lax.cummax) instead of a 6-word max-plus scan.  Values
+    (not just the argmax) are exactly equal to the coupled recurrence, so
+    trace bits are unaffected.
+    """
+    B, Q = hp.shape
+    q_idx = jnp.arange(Q, dtype=jnp.int32)[None, :]
+
+    def one(open_, ext):
+        # a[t] for t in [0, Q) corresponds to j = t - 1
+        a = jnp.concatenate(
+            [jnp.full((B, 1), ext, jnp.int32),           # j = -1: 0 - ext*(-1)
+             hp[:, :Q - 1] - ext * q_idx[:, :Q - 1]], axis=1)
+        m = jax.lax.cummax(a, axis=1)
+        return open_ + ext * (q_idx - 1) + m
+
+    return one(go, ge), one(goL, geL)
+
+
 def _shift_q(x, fill):
     """x[..., q] <- x[..., q-1], x[..., 0] <- fill."""
     pad = jnp.full(x.shape[:-1] + (1,), fill, x.dtype)
     return jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("with_trace",))
+@functools.partial(jax.jit, static_argnames=("with_trace", "prefix_gaps"))
 def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
-                with_trace=True):
+                with_trace=True, prefix_gaps=True):
     """Align a batch of tiles.
 
     qcodes: (B, QT) uint8 5-letter codes; rcodes: (B, RT).
@@ -117,7 +189,8 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
     max-cell mode.
 
     Returns dict with score, query_max_pos, ref_max_pos (all (B,) int32) and,
-    if with_trace, trace of shape (RT, B, QT) int16 (trace[r, b, q]).
+    if with_trace, trace of shape (RT, B, QT) uint8 (trace[r, b, q], 8-bit
+    layout above).
     """
     B, QT = qcodes.shape
     RT = rcodes.shape[1]
@@ -127,45 +200,51 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
 
     q_idx = jnp.arange(QT, dtype=jnp.int32)[None, :]           # (1, QT)
     valid_q = q_idx < qlens[:, None]                           # (B, QT)
-    sub_flat = sub.reshape(-1)
     qc = qcodes.astype(jnp.int32)
+    # Farrar-style query profile: prof5[c] = sub[q, c] per query position
+    # (CreateVProfile, Processor.cpp:87-115).  Per column the profile row is
+    # selected by compare+select over the 5 codes — no gathers in the loop.
+    prof5 = jnp.stack([jnp.take(sub[:, c], qc) for c in range(5)])  # (5,B,QT)
+    q_end_mask = (q_idx == (qlens - 1)[:, None])               # (B, QT)
 
     def step(carry, r):
         (h_prev, e, e_l, pending_ebits, best, best_q, best_r, h_end) = carry
 
         rchar = jax.lax.dynamic_index_in_dim(
             rcodes, r, axis=1, keepdims=False).astype(jnp.int32)  # (B,)
-        prof = jnp.take(sub_flat, qc * 5 + rchar[:, None])        # (B, QT)
+        prof = prof5[0]
+        for c in range(1, 5):
+            prof = jnp.where((rchar == c)[:, None], prof5[c], prof)
 
         dag = jnp.maximum(_shift_q(h_prev, 0) + prof, 0)
         hp = jnp.maximum(jnp.maximum(dag, e), e_l)
-        f, f_l = _column_gap_scan(hp, go, ge, goL, geL)
+        if prefix_gaps:
+            f, f_l = _column_gaps_prefix(hp, go, ge, goL, geL)
+        else:
+            f, f_l = _column_gap_scan(hp, go, ge, goL, geL)
         h = jnp.maximum(hp, jnp.maximum(f, f_l))
 
-        # ---- trace word (see oracle.clean_align) ----
+        # ---- trace word (see oracle.clean_align; 8-bit device layout) ----
         is_d = h == dag
         is_f = h == f
         is_fl = h == f_l
         is_el = h == e_l
-        t = jnp.full((B, QT), orc.T_DEL, jnp.int32)
-        t = jnp.where(is_d, jnp.where(h == 0, orc.T_ZERO, orc.T_DIAG), t)
-        t = jnp.where(is_fl, orc.T_INS_L, t)
-        t = jnp.where(is_el, orc.T_DEL_L, t)
-        t = jnp.where(~is_d & ~is_f & is_fl, orc.T_INS_L, t)
-        t = jnp.where(~is_d & is_f, orc.T_INS, t)
+        t = jnp.full((B, QT), T8_DEL, jnp.int32)
+        t = jnp.where(is_d, jnp.where(h == 0, T8_ZERO, T8_DIAG), t)
+        t = jnp.where(is_fl, T8_INS_L, t)
+        t = jnp.where(is_el, T8_DEL_L, t)
+        t = jnp.where(~is_d & ~is_f & is_fl, T8_INS_L, t)
+        t = jnp.where(~is_d & is_f, T8_INS, t)
 
         h_up = _shift_q(h, 0)
         f_up = _shift_q(f, NEG)
         fl_up = _shift_q(f_l, NEG)
-        fbits = jnp.where(h_up + go > f_up + ge, orc.F_DIAG_INS, orc.F_INS)
-        flbits = jnp.where(h_up + goL > fl_up + geL,
-                           orc.FL_DIAG_INS, orc.FL_INS)
-        word = (t + fbits + flbits + pending_ebits).astype(jnp.int16)
+        fbits = jnp.where(h_up + go > f_up + ge, F_OPEN8, 0)
+        flbits = jnp.where(h_up + goL > fl_up + geL, FL_OPEN8, 0)
+        word = (t + fbits + flbits + pending_ebits).astype(jnp.uint8)
 
-        next_ebits = (
-            jnp.where(h + go > e + ge, orc.E_DIAG_DEL, orc.E_DEL)
-            + jnp.where(h + goL > e_l + geL, orc.EL_DIAG_DEL, orc.EL_DEL)
-        )
+        next_ebits = (jnp.where(h + go > e + ge, E_OPEN8, 0)
+                      + jnp.where(h + goL > e_l + geL, EL_OPEN8, 0))
 
         e_new = jnp.maximum(h + go, e + ge)
         e_l_new = jnp.maximum(h + goL, e_l + geL)
@@ -183,15 +262,13 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
 
         # ---- start_end capture: H(qlen-1, rlen-1) ----
         at_end = r == (rlens - 1)
-        h_at_qend = jnp.take_along_axis(
-            h, (qlens[:, None] - 1), axis=1)[:, 0]
+        h_at_qend = jnp.sum(jnp.where(q_end_mask, h, 0), axis=1)
         h_end = jnp.where(at_end, h_at_qend, h_end)
 
         carry = (h, e_new, e_l_new, next_ebits, best, best_q, best_r, h_end)
         return carry, (word if with_trace else None)
 
-    init_ebits = jnp.full((B, QT),
-                          orc.E_DIAG_DEL + orc.EL_DIAG_DEL, jnp.int32)
+    init_ebits = jnp.full((B, QT), E_OPEN8 + EL_OPEN8, jnp.int32)
     carry0 = (
         jnp.zeros((B, QT), jnp.int32),            # H_prev
         jnp.full((B, QT), go, jnp.int32),         # E at column 0
@@ -215,114 +292,96 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
     return out
 
 
-# Traceback walker states
-_ST_DIAG = 0
-_ST_DEL = 1
-_ST_INS = 2
-_ST_DEL_L = 3
-_ST_INS_L = 4
-_ST_DONE = 5
+# Traceback walker states.  The gap states reuse the T-field codes so a
+# DIAG-state dispatch can transition by arithmetic.
+_ST_DIAG = T8_DIAG   # 5
+_ST_DEL = T8_DEL     # 1
+_ST_INS = T8_INS     # 2
+_ST_DEL_L = T8_DEL_L # 3
+_ST_INS_L = T8_INS_L # 4
+_ST_DONE = 0
 
 
 @functools.partial(jax.jit, static_argnames=("max_tb_steps",))
 def batch_traceback(trace, start_q, start_r, max_tb_steps):
-    """Batched traceback over (RT, B, QT) trace words.
+    """Batched traceback over (RT, B, QT) 8-bit trace words.
 
     Walks DualAlignSIMDTraceback's state machine (Processor.cpp:585-716) for
-    all tiles in lock-step.  Returns:
-      ops      : (B, 2*max_tb_steps) uint8, op codes in traceback order
-                 (orc.OP_M/I/D), zero-padded
+    all tiles in lock-step, with the reference's no-op state-switch
+    iterations fused away (a DIAG-state visit to a gap-typed cell both
+    switches state AND emits, reading the same cell — provably identical
+    because the reference re-reads the unchanged (i,j) on its next
+    iteration).  Every active iteration therefore emits exactly one op, so a
+    fixed-length ``lax.scan`` of min(QT+RT, 2*max_tb_steps) steps suffices
+    and ops land in a contiguous prefix per lane (no scatter).
+
+    Returns:
+      ops      : (B, L) uint8, op codes in traceback order (orc.OP_M/I/D)
       n_ops    : (B,) int32 total ops (total_TB_pointers)
       q_steps  : (B,) int32 query bases consumed (query_offset)
       r_steps  : (B,) int32 ref bases consumed (ref_offset)
     """
     RT, B, QT = trace.shape
-    tflat = trace.reshape(-1)
-    max_ops = 2 * max_tb_steps
+    tr2d = trace.transpose(1, 0, 2).reshape(B, RT * QT)
+    L = min(QT + RT, 2 * max_tb_steps)
+    UNROLL = 8  # sub-steps per scan iteration (amortizes loop overhead)
+    n_iter = -(-L // UNROLL)
 
-    def cond(state):
-        _, _, _, _, _, st, _, t = state
-        return jnp.logical_and(t < 2 * max_ops + 4,
-                               jnp.any(st != _ST_DONE))
+    def substep(state):
+        i, j, qs, rs, st = state
 
-    def body(state):
-        i, j, qs, rs, n, st, ops, t = state
-
-        # steps cap checked at loop top (Processor.cpp:616-618)
+        # steps cap + bounds, checked at loop top (Processor.cpp:613-618)
         capped = (qs == max_tb_steps) | (rs == max_tb_steps)
         oob = (i < 0) | (j < 0)
-        st = jnp.where((st != _ST_DONE) & (capped | oob), _ST_DONE, st)
+        st = jnp.where(capped | oob, _ST_DONE, st)
 
-        idx = (jnp.clip(j, 0, RT - 1) * B * QT
-               + jnp.arange(B, dtype=jnp.int32) * QT
-               + jnp.clip(i, 0, QT - 1))
-        w = jnp.take(tflat, idx).astype(jnp.int32)
+        idx = jnp.clip(j, 0, RT - 1) * QT + jnp.clip(i, 0, QT - 1)
+        w = jnp.take_along_axis(tr2d, idx[:, None], axis=1)[:, 0]
+        w = w.astype(jnp.int32)
+        tf = w & 7
 
-        is_diag = st == _ST_DIAG
-        # DIAG state dispatch (exclusive T field, bits 0-4)
-        tfield = w & 31
-        d_move = is_diag & ((tfield & orc.T_DIAG) != 0)
-        d_to_del = is_diag & (tfield == orc.T_DEL)
-        d_to_ins = is_diag & (tfield == orc.T_INS)
-        d_to_del_l = is_diag & (tfield == orc.T_DEL_L)
-        d_to_ins_l = is_diag & (tfield == orc.T_INS_L)
-        d_stop = is_diag & (tfield == orc.T_ZERO)
+        # effective walk state this iteration: gap states as-is; DIAG
+        # dispatches on the cell's T field (ZERO -> DONE)
+        eff = jnp.where(st == _ST_DIAG, tf, st)
 
-        in_del = st == _ST_DEL
-        in_ins = st == _ST_INS
-        in_del_l = st == _ST_DEL_L
-        in_ins_l = st == _ST_INS_L
+        is_m = eff == T8_DIAG
+        is_d = (eff == T8_DEL) | (eff == T8_DEL_L)
+        is_i = (eff == T8_INS) | (eff == T8_INS_L)
+        op = jnp.where(is_m, orc.OP_M,
+                       jnp.where(is_d, orc.OP_D,
+                                 jnp.where(is_i, orc.OP_I, orc.OP_NONE)))
 
-        emit_m = d_move
-        emit_d = in_del | in_del_l
-        emit_i = in_ins | in_ins_l
-        op = jnp.where(emit_m, orc.OP_M,
-                       jnp.where(emit_d, orc.OP_D,
-                                 jnp.where(emit_i, orc.OP_I, orc.OP_NONE)))
-        emits = op != orc.OP_NONE
+        di = jnp.where(is_m | is_i, 1, 0)
+        dj = jnp.where(is_m | is_d, 1, 0)
+        qs = qs + di
+        rs = rs + dj
+        i = i - di
+        j = j - dj
 
-        ops = ops.at[jnp.arange(B), jnp.clip(n, 0, max_ops - 1)].set(
-            jnp.where(emits, op, ops[jnp.arange(B),
-                                     jnp.clip(n, 0, max_ops - 1)]
-                      ).astype(jnp.uint8))
-        n = jnp.where(emits, n + 1, n)
+        # next state: M -> DIAG; gap -> DIAG iff the matching open bit set
+        open_bit = jnp.where(eff == T8_DEL, w & E_OPEN8,
+                    jnp.where(eff == T8_INS, w & F_OPEN8,
+                     jnp.where(eff == T8_DEL_L, w & EL_OPEN8,
+                      jnp.where(eff == T8_INS_L, w & FL_OPEN8, 1))))
+        nst = jnp.where(is_m, _ST_DIAG,
+                        jnp.where(open_bit != 0, _ST_DIAG, eff))
+        nst = jnp.where(eff == _ST_DONE, _ST_DONE, nst)
+        return (i, j, qs, rs, nst), op.astype(jnp.uint8)
 
-        di = jnp.where(emit_m | emit_i, 1, 0)
-        dj = jnp.where(emit_m | emit_d, 1, 0)
-        qs = qs + jnp.where(emits, di, 0)
-        rs = rs + jnp.where(emits, dj, 0)
-        i = i - jnp.where(emits, di, 0)
-        j = j - jnp.where(emits, dj, 0)
-
-        # next state
-        nst = st
-        nst = jnp.where(d_to_del, _ST_DEL, nst)
-        nst = jnp.where(d_to_ins, _ST_INS, nst)
-        nst = jnp.where(d_to_del_l, _ST_DEL_L, nst)
-        nst = jnp.where(d_to_ins_l, _ST_INS_L, nst)
-        nst = jnp.where(d_stop, _ST_DONE, nst)
-        nst = jnp.where(in_del,
-                        jnp.where((w & orc.E_DIAG_DEL) != 0, _ST_DIAG,
-                                  _ST_DEL), nst)
-        nst = jnp.where(in_ins,
-                        jnp.where((w & orc.F_DIAG_INS) != 0, _ST_DIAG,
-                                  _ST_INS), nst)
-        nst = jnp.where(in_del_l,
-                        jnp.where((w & orc.EL_DIAG_DEL) != 0, _ST_DIAG,
-                                  _ST_DEL_L), nst)
-        nst = jnp.where(in_ins_l,
-                        jnp.where((w & orc.FL_DIAG_INS) != 0, _ST_DIAG,
-                                  _ST_INS_L), nst)
-        st = jnp.where(st == _ST_DONE, _ST_DONE, nst)
-        return (i, j, qs, rs, n, st, ops, t + 1)
+    def step(state, _):
+        ops = []
+        for _k in range(UNROLL):
+            state, op = substep(state)
+            ops.append(op)
+        return state, jnp.stack(ops)  # (UNROLL, B)
 
     zeros = jnp.zeros((B,), jnp.int32)
     state0 = (start_q.astype(jnp.int32), start_r.astype(jnp.int32),
-              zeros, zeros, zeros,
-              jnp.full((B,), _ST_DIAG, jnp.int32),
-              jnp.zeros((B, max_ops), jnp.uint8),
-              jnp.int32(0))
-    i, j, qs, rs, n, st, ops, _ = jax.lax.while_loop(cond, body, state0)
+              zeros, zeros, jnp.full((B,), _ST_DIAG, jnp.int32))
+    (i, j, qs, rs, st), ops = jax.lax.scan(step, state0, None, length=n_iter)
+    # (n_iter, UNROLL, B) -> (B, n_iter*UNROLL); contiguous prefix per lane
+    ops = ops.reshape(n_iter * UNROLL, B).T
+    n = jnp.sum((ops != orc.OP_NONE).astype(jnp.int32), axis=1)
     return {"ops": ops, "n_ops": n, "q_steps": qs, "r_steps": rs}
 
 

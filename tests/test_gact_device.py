@@ -52,8 +52,9 @@ def test_batch_align_matches_oracle(rng):
         assert int(res["score"][b]) == s, b
         assert int(res["query_max_pos"][b]) == eq, b
         assert int(res["ref_max_pos"][b]) == er, b
-        dev_tr = trace[:rlens[b], b, :qlens[b]].T  # (Q, R)
-        np.testing.assert_array_equal(dev_tr, tr, err_msg=f"tile {b}")
+        dev_tr = trace[:rlens[b], b, :qlens[b]].T  # (Q, R), 8-bit layout
+        np.testing.assert_array_equal(dev_tr, gact.pack_trace_word(tr),
+                                      err_msg=f"tile {b}")
 
 
 def test_traceback_matches_oracle(rng):
