@@ -54,7 +54,7 @@ def main():
         def body(acc, qr):
             q, r = qr
             out = gact.align_and_traceback(q, r, qlens, rlens, start_end,
-                                           params, 2 * T)
+                                           params, 2 * T, all_start_end=True)
             return acc + jnp.sum(out["n_ops"]) + jnp.sum(out["score"]), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, rs))
         return acc

@@ -70,4 +70,4 @@ def extend_tiles(ref_codes, query_codes, r_start, r_size, q_start, q_size,
                                 q_start, q_size, rev, qt, rt)
     return gact.align_and_traceback(
         qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
-        jnp.ones((B,), bool), params, max_tb)
+        jnp.ones((B,), bool), params, max_tb, all_start_end=True)

@@ -178,9 +178,10 @@ def _shift_q(x, fill):
     return jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("with_trace", "prefix_gaps"))
+@functools.partial(jax.jit, static_argnames=("with_trace", "prefix_gaps",
+                                              "all_start_end"))
 def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
-                with_trace=True, prefix_gaps=True):
+                with_trace=True, prefix_gaps=True, all_start_end=False):
     """Align a batch of tiles.
 
     qcodes: (B, QT) uint8 5-letter codes; rcodes: (B, RT).
@@ -251,14 +252,18 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
 
         # ---- max tracking (earliest column with the strict global max,
         # then smallest q in that column; Processor.cpp:502-541) ----
-        r_valid = r < rlens
-        hm = jnp.where(valid_q & r_valid[:, None], h, -1)
-        colmax = jnp.max(hm, axis=1)
-        improved = colmax > best
-        colargq = jnp.argmax(hm == colmax[:, None], axis=1).astype(jnp.int32)
-        best = jnp.where(improved, colmax, best)
-        best_q = jnp.where(improved, colargq, best_q)
-        best_r = jnp.where(improved, r, best_r)
+        # Skipped when the whole dispatch is start_end (extend tiles), which
+        # only reads the end cell.
+        if not all_start_end:
+            r_valid = r < rlens
+            hm = jnp.where(valid_q & r_valid[:, None], h, -1)
+            colmax = jnp.max(hm, axis=1)
+            improved = colmax > best
+            colargq = jnp.argmax(hm == colmax[:, None],
+                                 axis=1).astype(jnp.int32)
+            best = jnp.where(improved, colmax, best)
+            best_q = jnp.where(improved, colargq, best_q)
+            best_r = jnp.where(improved, r, best_r)
 
         # ---- start_end capture: H(qlen-1, rlen-1) ----
         at_end = r == (rlens - 1)
@@ -386,14 +391,14 @@ def batch_traceback(trace, start_q, start_r, max_tb_steps):
 
 
 def align_and_traceback(qcodes, rcodes, qlens, rlens, start_end, params,
-                        max_tb_steps):
+                        max_tb_steps, all_start_end=False):
     """One-dispatch DP + traceback; only compact results leave the device.
 
     Traceback starts at (qlen-1, rlen-1) for start_end tiles and at the max
     cell otherwise (Processor.cpp:593-598).
     """
     res = batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
-                      with_trace=True)
+                      with_trace=True, all_start_end=all_start_end)
     tb = batch_traceback(res["trace"],
                          jnp.where(start_end, qlens - 1, res["query_max_pos"]),
                          jnp.where(start_end, rlens - 1, res["ref_max_pos"]),

@@ -55,7 +55,7 @@ def _extend_step(ref_codes, query_codes, r_start, r_size, q_start, q_size,
                                 q_start, q_size, rev, qt, rt)
     res = gact.align_and_traceback(
         qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
-        jnp.ones(r_start.shape, bool), params, max_tb)
+        jnp.ones(r_start.shape, bool), params, max_tb, all_start_end=True)
     return res
 
 
