@@ -24,7 +24,22 @@ def _open_maybe_gzip(path: str):
 
 
 def iter_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Iterate (name, seq_bytes).  Supports FASTA ('>') and FASTQ ('@')."""
+    """Iterate (name, seq_bytes).  Supports FASTA ('>') and FASTQ ('@').
+
+    Plain FASTA files go through the native C++ scanner when available
+    (native/darwin_native.cpp::fasta_scan); gzip/FASTQ use the Python path.
+    """
+    with open(path, "rb") as probe:
+        head = probe.read(2)
+    if head[:1] == b">":
+        from darwin_tpu import native
+        with open(path, "rb") as f:
+            data = f.read()
+        res = native.fasta_scan_native(data)
+        if res is not None:
+            names, seqs = res
+            yield from zip(names, seqs)
+            return
     with _open_maybe_gzip(path) as fh:
         reader = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
         name = None

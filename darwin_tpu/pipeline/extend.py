@@ -214,8 +214,27 @@ class _Ext:
         if self.used_large and not cfg.do_overlap:
             rt, qt = self._large_sizes(left, cfg)
         stop_thr = min(rt, qt) - cfg.tile_overlap
-        a = self._applied_ops(ops, stop_thr)
         n_ops_total = len(ops)
+
+        from darwin_tpu import native
+        nat = native.decode_ops_native(
+            ops, stop_thr, 0 if left else 1, bases, self.ref_start_addr,
+            q_bytes, self.curr_ref, self.curr_q, self.ref_len, self.q_len)
+        if nat is not None:
+            rchars, qchars, new_ref, new_q, rb, qb = nat
+            if left:
+                self.left_chunks.append((rchars[::-1], qchars[::-1]))
+                if rb:
+                    self.ref_start_off = 0
+                if qb:
+                    self.q_start_off = 0
+            else:
+                self.right_chunks.append((rchars, qchars))
+            self.curr_ref = new_ref
+            self.curr_q = new_q
+            return self._post_decode(left, n_ops_total, cfg)
+
+        a = self._applied_ops(ops, stop_thr)
 
         ref_consume = a != orc.OP_I
         q_consume = a != orc.OP_D
@@ -239,7 +258,22 @@ class _Ext:
                 self.q_start_off = 0
             self.curr_ref = max(self.curr_ref - tot_ref, 0)
             self.curr_q = max(self.curr_q - tot_q, 0)
+        else:
+            pos_ref = np.minimum(self.curr_ref + k_ref, self.ref_len)
+            pos_q = np.minimum(self.curr_q + k_q, self.q_len)
+            rchars = np.where(ref_consume,
+                              bases[self.ref_start_addr + pos_ref], dash)
+            qchars = np.where(q_consume, q_bytes[pos_q], dash)
+            self.right_chunks.append((rchars, qchars))
+            self.curr_ref = min(self.curr_ref + tot_ref, self.ref_len)
+            self.curr_q = min(self.curr_q + tot_q, self.q_len)
 
+        return self._post_decode(left, n_ops_total, cfg)
+
+    def _post_decode(self, left: bool, n_ops_total: int, cfg) -> bool:
+        """Hit popping + termination logic shared by the native and numpy
+        decode paths (extender.cpp:336-394 / :472-524)."""
+        if left:
             # pop chained hits (extender.cpp:336-351)
             if len(self.left_hits):
                 x = self.ref_start_addr + self.curr_ref
@@ -280,15 +314,6 @@ class _Ext:
             return False
 
         # ---- right side ----
-        pos_ref = np.minimum(self.curr_ref + k_ref, self.ref_len)
-        pos_q = np.minimum(self.curr_q + k_q, self.q_len)
-        rchars = np.where(ref_consume,
-                          bases[self.ref_start_addr + pos_ref], dash)
-        qchars = np.where(q_consume, q_bytes[pos_q], dash)
-        self.right_chunks.append((rchars, qchars))
-        self.curr_ref = min(self.curr_ref + tot_ref, self.ref_len)
-        self.curr_q = min(self.curr_q + tot_q, self.q_len)
-
         if len(self.right_hits):
             x = self.ref_start_addr + self.curr_ref
             h = (self.right_hits >> np.uint64(32)).astype(np.int64)

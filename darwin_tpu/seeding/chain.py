@@ -41,6 +41,20 @@ def chain_anchors(hits_bin, hits_off, hits_pos, n_hits,
     """hits_* : int arrays (valid prefix of length n_hits, sorted by
     (bin, offset)); anc_* : anchors in bin-ascending order."""
     sv = 1 if overlap else (1 << 12) // bin_size
+
+    from darwin_tpu import native
+    res = native.chain_anchors_native(hits_bin, hits_off, hits_pos, n_hits,
+                                      anc_pos, anc_off, anc_bin, n_anchors,
+                                      sv)
+    if res is not None:
+        left, loff, right, roff, nch, sc = res
+        out = [Anchor(hit=int(anc_pos[a]), offset=int(anc_off[a]),
+                      num_chained_hits=int(nch[a]), anchor_score=int(sc[a]),
+                      left_chained=left[loff[a]:loff[a + 1]].copy(),
+                      right_chained=right[roff[a]:roff[a + 1]].copy())
+               for a in range(n_anchors)]
+        out.sort(key=lambda x: (-x.num_chained_hits, x.hit_offset))
+        return out
     hb = np.asarray(hits_bin[:n_hits], np.int64)
     ho = np.asarray(hits_off[:n_hits], np.int64)
     hp = np.asarray(hits_pos[:n_hits], np.int64)
