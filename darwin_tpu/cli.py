@@ -18,18 +18,35 @@ from darwin_tpu.pipeline.align import run
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 3:
+    index_cache = None
+    profile_dir = None
+    rest = []
+    for a in argv:
+        if a.startswith("--index-cache="):
+            index_cache = a.split("=", 1)[1]
+        elif a.startswith("--profile="):
+            profile_dir = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    if len(rest) < 3:
         print("Usage: python -m darwin_tpu.cli <REFERENCE>.fasta "
-              "<READS>.fasta OVERLAP(0/1)", file=sys.stderr)
+              "<READS>.fasta OVERLAP(0/1) [--index-cache=FILE.npz] "
+              "[--profile=DIR]", file=sys.stderr)
         return 1
-    ref_path, reads_path, overlap = argv[0], argv[1], bool(int(argv[2]))
+    ref_path, reads_path, overlap = rest[0], rest[1], bool(int(rest[2]))
     if os.path.exists("params.cfg"):
         print("Reading configuration ...", file=sys.stderr)
         cfg = load_config("params.cfg", do_overlap=overlap)
     else:
         cfg = Config()
         cfg.do_overlap = overlap
-    run(ref_path, reads_path, overlap, cfg=cfg)
+    if profile_dir:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            run(ref_path, reads_path, overlap, cfg=cfg,
+                index_cache=index_cache)
+    else:
+        run(ref_path, reads_path, overlap, cfg=cfg, index_cache=index_cache)
     return 0
 
 

@@ -9,6 +9,7 @@ printer (SAM or MHAP).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import List
@@ -133,7 +134,7 @@ class Aligner:
 
 def run(ref_path: str, reads_path: str, do_overlap: bool,
         cfg: Config | None = None, out=None, err=None,
-        reads_per_batch: int = 16) -> None:
+        reads_per_batch: int = 16, index_cache: str | None = None) -> None:
     out = out or sys.stdout
     err = err or sys.stderr
     cfg = cfg or Config()
@@ -148,7 +149,19 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
 
     print("Finalizing seed position table ...", file=err)
     t0 = time.time()
-    aligner = Aligner(cfg, store)
+    table = None
+    if index_cache is not None and os.path.exists(index_cache):
+        table = SeedTable.load(index_cache)
+        if (table.kmer_size != cfg.seed_size
+                or table.minimizer_window != cfg.minimizer_window
+                or table.ref_size != store.size):
+            print(f"index cache {index_cache} does not match the "
+                  "reference/config; rebuilding", file=err)
+            table = None
+    aligner = Aligner(cfg, store, table=table)
+    if index_cache is not None and table is None:
+        aligner.table.save(index_cache)
+        print(f"Seed table saved to {index_cache}", file=err)
     print(f"Time elapsed (finalizing seed position table): "
           f"{int((time.time() - t0) * 1000)} msec", file=err)
 
