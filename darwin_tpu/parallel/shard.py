@@ -70,3 +70,39 @@ def sharded_extend_tiles(mesh: Mesh, ref_codes, query_codes, r_start, r_size,
         mesh, r_start, r_size, q_start, q_size, rev)
     return _extend_step(ref_codes, query_codes, r_start, r_size, q_start,
                         q_size, rev, params, qt, rt, max_tb)
+
+
+class MeshDispatcher:
+    """Pipeline-facing dispatcher: replicates resident sequence buffers once
+    and shards every per-round tile batch over the mesh.  Drop-in for the
+    single-device dispatch functions (ops/dispatch.py)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.n = int(np.prod(list(mesh.shape.values())))
+
+    def put_replicated(self, arr):
+        return jax.device_put(arr, NamedSharding(self.mesh, P()))
+
+    def _shard(self, *arrays):
+        return shard_batch(self.mesh, *arrays)
+
+    def pad(self, b: int) -> int:
+        """Round a batch size up so every shard is non-empty and equal."""
+        m = max(self.n, 8)
+        return -(-b // m) * m
+
+    def extend_tiles(self, ref_codes, query_codes, r_start, r_size, q_start,
+                     q_size, rev, params, *, qt, rt, max_tb):
+        (r_start, r_size, q_start, q_size, rev) = self._shard(
+            r_start, r_size, q_start, q_size, rev)
+        return _extend_step(ref_codes, query_codes, r_start, r_size,
+                            q_start, q_size, rev, params, qt, rt, max_tb)
+
+    def first_tile_scores(self, ref_codes, query_codes, r_start, r_size,
+                          q_start, q_size, params, *, qt, rt):
+        from darwin_tpu.ops.dispatch import first_tile_scores as _fts
+        (r_start, r_size, q_start, q_size) = self._shard(
+            r_start, r_size, q_start, q_size)
+        return _fts(ref_codes, query_codes, r_start, r_size, q_start,
+                    q_size, params, qt=qt, rt=rt)

@@ -43,7 +43,10 @@ def new_counters():
 
 class Aligner:
     def __init__(self, cfg: Config, store: GenomeStore,
-                 table: SeedTable | None = None):
+                 table: SeedTable | None = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh — tile batches shard across it
+        (genome/read buffers replicated, zero hot-loop communication;
+        parallel/shard.py)."""
         self.cfg = cfg
         self.store = store
         self.table = table or build_seed_table(store, cfg)
@@ -51,10 +54,17 @@ class Aligner:
         self.params = gact.make_params(cfg)
         self.counters = new_counters()
         self._ref_codes = None
+        if mesh is not None:
+            from darwin_tpu.parallel.shard import MeshDispatcher
+            self.mesh_dispatch = MeshDispatcher(mesh)
+        else:
+            self.mesh_dispatch = None
 
     def _ref_codes_dev(self):
         if self._ref_codes is None:
-            self._ref_codes = jnp.asarray(encode5(self.store.bases))
+            codes = encode5(self.store.bases)
+            self._ref_codes = (self.mesh_dispatch.put_replicated(codes)
+                               if self.mesh_dispatch else jnp.asarray(codes))
         return self._ref_codes
 
     def _filter_strand(self, reads, anchors_per_read, strand):
@@ -82,6 +92,8 @@ class Aligner:
 
         T = cfg.first_tile_size
         bp = max(8, 1 << (n - 1).bit_length())
+        if self.mesh_dispatch:
+            bp = self.mesh_dispatch.pad(bp)
         rs = np.zeros(bp, np.int64)
         rs[:n] = batch.r_start
         rsz = np.ones(bp, np.int32)
@@ -90,10 +102,16 @@ class Aligner:
         qs[:n] = q_start
         qsz = np.ones(bp, np.int32)
         qsz[:n] = batch.q_size
-        res = first_tile_scores(
-            self._ref_codes_dev(), jnp.asarray(encode5(qbuf)),
-            jnp.asarray(rs), jnp.asarray(rsz), jnp.asarray(qs),
-            jnp.asarray(qsz), self.params, qt=T, rt=T)
+        if self.mesh_dispatch:
+            res = self.mesh_dispatch.first_tile_scores(
+                self._ref_codes_dev(),
+                self.mesh_dispatch.put_replicated(encode5(qbuf)),
+                rs, rsz, qs, qsz, self.params, qt=T, rt=T)
+        else:
+            res = first_tile_scores(
+                self._ref_codes_dev(), jnp.asarray(encode5(qbuf)),
+                jnp.asarray(rs), jnp.asarray(rsz), jnp.asarray(qs),
+                jnp.asarray(qsz), self.params, qt=T, rt=T)
         scores = np.asarray(res["score"])[:n]
         rmax = np.asarray(res["ref_max_pos"])[:n]
         qmax = np.asarray(res["query_max_pos"])[:n]
@@ -118,7 +136,8 @@ class Aligner:
             groups.append((i, "+", [l for l in fw_locs if l.read_num == i]))
             groups.append((i, "-", [l for l in rc_locs if l.read_num == i]))
 
-        mgr = ExtensionManager(self.store, reads, cfg, self.params)
+        mgr = ExtensionManager(self.store, reads, cfg, self.params,
+                               mesh_dispatch=self.mesh_dispatch)
         emitted = mgr.run(groups, reads, self.counters)
 
         # per read: fw emissions then rc emissions (extender_body order)

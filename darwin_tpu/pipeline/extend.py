@@ -406,10 +406,11 @@ def _round_up(x, m):
 class ExtensionManager:
     """Runs all extensions of a read batch through wide device dispatches."""
 
-    def __init__(self, store, reads, cfg, params):
+    def __init__(self, store, reads, cfg, params, mesh_dispatch=None):
         self.store = store
         self.cfg = cfg
         self.params = params
+        self.mesh = mesh_dispatch
         self.bases = np.concatenate(
             [store.bases,
              np.full(4 * cfg.large_tile_long, ord("N"), np.uint8)])
@@ -430,12 +431,16 @@ class ExtensionManager:
         self.q_code_start = offsets
         from darwin_tpu.genome import encode5
         allq = np.concatenate(bufs) if bufs else np.zeros(1, np.uint8)
-        self.q_codes_dev = jnp.asarray(encode5(allq))
+        q = encode5(allq)
+        self.q_codes_dev = (self.mesh.put_replicated(q) if self.mesh
+                            else jnp.asarray(q))
 
     def _ref_dev(self):
         if self.ref_codes_dev is None:
             from darwin_tpu.genome import encode5
-            self.ref_codes_dev = jnp.asarray(encode5(self.bases))
+            codes = encode5(self.bases)
+            self.ref_codes_dev = (self.mesh.put_replicated(codes)
+                                  if self.mesh else jnp.asarray(codes))
         return self.ref_codes_dev
 
     def run(self, groups, reads, counters) -> List[List[ExtendAlignment]]:
@@ -466,6 +471,8 @@ class ExtensionManager:
             for (rt, qt), items in reqs.items():
                 B = len(items)
                 bp = max(8, 1 << (B - 1).bit_length())
+                if self.mesh:
+                    bp = self.mesh.pad(bp)
                 r_start = np.zeros(bp, np.int64)
                 r_size = np.ones(bp, np.int32)
                 q_start = np.zeros(bp, np.int64)
@@ -477,11 +484,17 @@ class ExtensionManager:
                     q_start[b] = exts[ei].q_code_start + qs
                     q_size[b] = qsz
                     rev[b] = rv
-                res = extend_tiles(
-                    refc, self.q_codes_dev, jnp.asarray(r_start),
-                    jnp.asarray(r_size), jnp.asarray(q_start),
-                    jnp.asarray(q_size), jnp.asarray(rev), self.params,
-                    qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
+                if self.mesh:
+                    res = self.mesh.extend_tiles(
+                        refc, self.q_codes_dev, r_start, r_size, q_start,
+                        q_size, rev, self.params,
+                        qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
+                else:
+                    res = extend_tiles(
+                        refc, self.q_codes_dev, jnp.asarray(r_start),
+                        jnp.asarray(r_size), jnp.asarray(q_start),
+                        jnp.asarray(q_size), jnp.asarray(rev), self.params,
+                        qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
                 ops_h = np.asarray(res["ops"])
                 n_h = np.asarray(res["n_ops"])
                 for b, (ei, _) in enumerate(items):
