@@ -21,7 +21,12 @@ def main():
     import jax
     import jax.numpy as jnp
     from darwin_tpu.config import Config
-    from darwin_tpu.ops import gact
+    from darwin_tpu.ops import gact, dispatch
+
+    if dispatch.use_pallas():
+        from darwin_tpu.ops import gact_pallas as kernel_mod
+    else:
+        kernel_mod = gact
 
     cfg = Config()
     params = gact.make_params(cfg)
@@ -53,8 +58,9 @@ def main():
     def rounds(qs, rs):
         def body(acc, qr):
             q, r = qr
-            out = gact.align_and_traceback(q, r, qlens, rlens, start_end,
-                                           params, 2 * T, all_start_end=True)
+            out = kernel_mod.align_and_traceback(
+                q, r, qlens, rlens, start_end, params, 2 * T,
+                all_start_end=True)
             return acc + jnp.sum(out["n_ops"]) + jnp.sum(out["score"]), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, rs))
         return acc

@@ -11,11 +11,44 @@ nothing but compact results returning to the host.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from darwin_tpu.ops import gact
+
+
+@functools.cache
+def use_pallas() -> bool:
+    """Kernel backend selection: the Pallas kernel (gact_pallas) on real
+    TPUs, the lax.scan reference implementation elsewhere (CPU tests,
+    virtual meshes).  Override with DARWIN_TPU_KERNEL=pallas|lax."""
+    forced = os.environ.get("DARWIN_TPU_KERNEL", "").lower()
+    if forced in ("pallas", "lax"):
+        return forced == "pallas"
+    return jax.devices()[0].platform == "tpu"
+
+
+def _align_and_traceback(qtile, rtile, qlens, rlens, start_end, params,
+                         max_tb, all_start_end):
+    if use_pallas():
+        from darwin_tpu.ops import gact_pallas
+        return gact_pallas.align_and_traceback(
+            qtile, rtile, qlens, rlens, start_end, params, max_tb,
+            all_start_end=all_start_end)
+    return gact.align_and_traceback(qtile, rtile, qlens, rlens, start_end,
+                                    params, max_tb,
+                                    all_start_end=all_start_end)
+
+
+def _batch_align_scores(qtile, rtile, qlens, rlens, start_end, params):
+    if use_pallas():
+        from darwin_tpu.ops import gact_pallas
+        return gact_pallas.batch_align(qtile, rtile, qlens, rlens,
+                                       start_end, params, with_trace=False)
+    return gact.batch_align(qtile, rtile, qlens, rlens, start_end, params,
+                            with_trace=False)
 
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt"))
@@ -47,7 +80,6 @@ def gather_tiles(ref_codes, query_codes, r_start, r_size, q_start, q_size,
     return qtile, rtile
 
 
-@functools.partial(jax.jit, static_argnames=("qt", "rt"))
 def first_tile_scores(ref_codes, query_codes, r_start, r_size, q_start,
                       q_size, params, qt: int, rt: int):
     """Filter-stage dispatch: max-cell scores + positions, no traceback
@@ -56,18 +88,17 @@ def first_tile_scores(ref_codes, query_codes, r_start, r_size, q_start,
     rev = jnp.zeros((B,), bool)
     qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
                                 q_start, q_size, rev, qt, rt)
-    return gact.batch_align(qtile, rtile, q_size.astype(jnp.int32),
-                            r_size.astype(jnp.int32),
-                            jnp.zeros((B,), bool), params, with_trace=False)
+    return _batch_align_scores(qtile, rtile, q_size.astype(jnp.int32),
+                               r_size.astype(jnp.int32),
+                               jnp.zeros((B,), bool), params)
 
 
-@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb"))
 def extend_tiles(ref_codes, query_codes, r_start, r_size, q_start, q_size,
                  rev, params, qt: int, rt: int, max_tb: int):
     """Extension-stage dispatch: start_end DP + traceback in one program."""
     B = r_start.shape[0]
     qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
                                 q_start, q_size, rev, qt, rt)
-    return gact.align_and_traceback(
+    return _align_and_traceback(
         qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
         jnp.ones((B,), bool), params, max_tb, all_start_end=True)

@@ -307,6 +307,80 @@ _ST_INS_L = T8_INS_L # 4
 _ST_DONE = 0
 
 
+@functools.partial(jax.jit, static_argnames=("max_tb_steps", "n_valid"))
+def batch_traceback_cols(trace_cols, start_q, start_r, max_tb_steps,
+                         n_valid=None):
+    """Batched traceback over the (RT, QT, B) column-major trace layout
+    emitted by the Pallas DP kernel (gact_pallas) — identical walk to
+    batch_traceback, with the per-step word gathered along axis 0 of the
+    flattened (RT*QT, B) table (no transpose of the trace needed).
+
+    n_valid trims lane-padding added by the kernel (B rounded up to 128).
+    """
+    RT, QT, B = trace_cols.shape
+    tr2d = trace_cols.reshape(RT * QT, B)
+    if n_valid is None:
+        n_valid = B
+    L = min(QT + RT, 2 * max_tb_steps)
+    UNROLL = 8
+    n_iter = -(-L // UNROLL)
+    start_q = jnp.pad(start_q.astype(jnp.int32), (0, B - n_valid))
+    start_r = jnp.pad(start_r.astype(jnp.int32), (0, B - n_valid))
+
+    def substep(state):
+        i, j, qs, rs, st = state
+        capped = (qs == max_tb_steps) | (rs == max_tb_steps)
+        oob = (i < 0) | (j < 0)
+        st = jnp.where(capped | oob, _ST_DONE, st)
+        idx = jnp.clip(j, 0, RT - 1) * QT + jnp.clip(i, 0, QT - 1)
+        w = jnp.take_along_axis(tr2d, idx[None, :], axis=0)[0]
+        return _tb_transition(w, i, j, qs, rs, st)
+
+    def step(state, _):
+        ops = []
+        for _k in range(UNROLL):
+            state, op = substep(state)
+            ops.append(op)
+        return state, jnp.stack(ops)
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    state0 = (start_q, start_r, zeros, zeros,
+              jnp.full((B,), _ST_DIAG, jnp.int32))
+    (i, j, qs, rs, st), ops = jax.lax.scan(step, state0, None, length=n_iter)
+    ops = ops.reshape(n_iter * UNROLL, B).T[:n_valid]
+    n = jnp.sum((ops != orc.OP_NONE).astype(jnp.int32), axis=1)
+    return {"ops": ops, "n_ops": n,
+            "q_steps": qs[:n_valid], "r_steps": rs[:n_valid]}
+
+
+def _tb_transition(w, i, j, qs, rs, st):
+    """One traceback transition given the fetched trace word w (int-like);
+    shared between the row- and column-layout walkers."""
+    w = w.astype(jnp.int32)
+    tf = w & 7
+    eff = jnp.where(st == _ST_DIAG, tf, st)
+    is_m = eff == T8_DIAG
+    is_d = (eff == T8_DEL) | (eff == T8_DEL_L)
+    is_i = (eff == T8_INS) | (eff == T8_INS_L)
+    op = jnp.where(is_m, orc.OP_M,
+                   jnp.where(is_d, orc.OP_D,
+                             jnp.where(is_i, orc.OP_I, orc.OP_NONE)))
+    di = jnp.where(is_m | is_i, 1, 0)
+    dj = jnp.where(is_m | is_d, 1, 0)
+    qs = qs + di
+    rs = rs + dj
+    i = i - di
+    j = j - dj
+    open_bit = jnp.where(eff == T8_DEL, w & E_OPEN8,
+                jnp.where(eff == T8_INS, w & F_OPEN8,
+                 jnp.where(eff == T8_DEL_L, w & EL_OPEN8,
+                  jnp.where(eff == T8_INS_L, w & FL_OPEN8, 1))))
+    nst = jnp.where(is_m, _ST_DIAG,
+                    jnp.where(open_bit != 0, _ST_DIAG, eff))
+    nst = jnp.where(eff == _ST_DONE, _ST_DONE, nst)
+    return (i, j, qs, rs, nst), op.astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("max_tb_steps",))
 def batch_traceback(trace, start_q, start_r, max_tb_steps):
     """Batched traceback over (RT, B, QT) 8-bit trace words.
@@ -342,36 +416,7 @@ def batch_traceback(trace, start_q, start_r, max_tb_steps):
 
         idx = jnp.clip(j, 0, RT - 1) * QT + jnp.clip(i, 0, QT - 1)
         w = jnp.take_along_axis(tr2d, idx[:, None], axis=1)[:, 0]
-        w = w.astype(jnp.int32)
-        tf = w & 7
-
-        # effective walk state this iteration: gap states as-is; DIAG
-        # dispatches on the cell's T field (ZERO -> DONE)
-        eff = jnp.where(st == _ST_DIAG, tf, st)
-
-        is_m = eff == T8_DIAG
-        is_d = (eff == T8_DEL) | (eff == T8_DEL_L)
-        is_i = (eff == T8_INS) | (eff == T8_INS_L)
-        op = jnp.where(is_m, orc.OP_M,
-                       jnp.where(is_d, orc.OP_D,
-                                 jnp.where(is_i, orc.OP_I, orc.OP_NONE)))
-
-        di = jnp.where(is_m | is_i, 1, 0)
-        dj = jnp.where(is_m | is_d, 1, 0)
-        qs = qs + di
-        rs = rs + dj
-        i = i - di
-        j = j - dj
-
-        # next state: M -> DIAG; gap -> DIAG iff the matching open bit set
-        open_bit = jnp.where(eff == T8_DEL, w & E_OPEN8,
-                    jnp.where(eff == T8_INS, w & F_OPEN8,
-                     jnp.where(eff == T8_DEL_L, w & EL_OPEN8,
-                      jnp.where(eff == T8_INS_L, w & FL_OPEN8, 1))))
-        nst = jnp.where(is_m, _ST_DIAG,
-                        jnp.where(open_bit != 0, _ST_DIAG, eff))
-        nst = jnp.where(eff == _ST_DONE, _ST_DONE, nst)
-        return (i, j, qs, rs, nst), op.astype(jnp.uint8)
+        return _tb_transition(w, i, j, qs, rs, st)
 
     def step(state, _):
         ops = []
