@@ -58,10 +58,17 @@ def main():
     def rounds(qs, rs):
         def body(acc, qr):
             q, r = qr
-            out = kernel_mod.align_and_traceback(
-                q, r, qlens, rlens, start_end, params, 2 * T,
-                all_start_end=True)
-            return acc + jnp.sum(out["n_ops"]) + jnp.sum(out["score"]), None
+            if hasattr(kernel_mod, "align_and_traceback_device"):
+                out = kernel_mod.align_and_traceback_device(
+                    q, r, qlens, rlens, start_end, params, 2 * T,
+                    all_start_end=True)
+                acc2 = jnp.sum(out["rec"]) + jnp.sum(out["q_steps_all"])
+            else:
+                out = kernel_mod.align_and_traceback(
+                    q, r, qlens, rlens, start_end, params, 2 * T,
+                    all_start_end=True)
+                acc2 = jnp.sum(out["n_ops"])
+            return acc + acc2 + jnp.sum(out["score"]), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, rs))
         return acc
 

@@ -336,18 +336,32 @@ def batch_traceback_cols(trace_cols, start_q, start_r, max_tb_steps,
         w = jnp.take_along_axis(tr2d, idx[None, :], axis=0)[0]
         return _tb_transition(w, i, j, qs, rs, st)
 
-    def step(state, _):
+    # while_loop with an all-lanes-done early exit: a typical extend-tile
+    # path is ~tile_size ops, roughly half of the worst-case bound L, and
+    # the serial per-step gather is the single most expensive part of the
+    # whole dispatch — stop as soon as every lane has terminated.
+    def cond(carry):
+        t, state, _ = carry
+        st = state[4]
+        return (t < n_iter) & jnp.any(st != _ST_DONE)
+
+    def step(carry):
+        t, state, ops_buf = carry
         ops = []
         for _k in range(UNROLL):
             state, op = substep(state)
             ops.append(op)
-        return state, jnp.stack(ops)
+        ops_buf = jax.lax.dynamic_update_slice(
+            ops_buf, jnp.stack(ops), (t * UNROLL, 0))
+        return (t + 1, state, ops_buf)
 
     zeros = jnp.zeros((B,), jnp.int32)
     state0 = (start_q, start_r, zeros, zeros,
               jnp.full((B,), _ST_DIAG, jnp.int32))
-    (i, j, qs, rs, st), ops = jax.lax.scan(step, state0, None, length=n_iter)
-    ops = ops.reshape(n_iter * UNROLL, B).T[:n_valid]
+    ops_buf0 = jnp.full((n_iter * UNROLL, B), orc.OP_NONE, jnp.uint8)
+    _, (i, j, qs, rs, st), ops = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), state0, ops_buf0))
+    ops = ops.T[:n_valid]
     n = jnp.sum((ops != orc.OP_NONE).astype(jnp.int32), axis=1)
     return {"ops": ops, "n_ops": n,
             "q_steps": qs[:n_valid], "r_steps": rs[:n_valid]}

@@ -12,7 +12,7 @@ the TPU answer to the reference's two compute engines at once:
   at a time, reference streamed through the PE chain.
 
 Here a *batch block* of 128 tiles rides the 128 VPU lanes and the full
-query dimension rides the sublanes, so one grid step computes 128 tiles x
+query dimension rides the sublanes, so one fused step computes 128 tiles x
 QT cells of one reference column.  The DP state (H/E/E_L rows, pending gap
 open bits) lives in VMEM scratch across the column loop — nothing but the
 packed 8-bit trace slab leaves the chip per column, and only compact
@@ -23,9 +23,11 @@ Processor.cpp:382-497) is solved exactly by two log-depth prefix maxima
 over the sublane axis (see gact._column_gaps_prefix for the derivation),
 valid whenever opening is not cheaper than extending.
 
-Grid = (B/128, RT) with the column dimension sequential ("arbitrary") so
-scratch carries across columns; the batch dimension is parallel (megacore
-splits batch blocks across cores).
+Grid = (B/128, RT/PCOL) with the column dimension sequential ("arbitrary")
+so scratch carries across steps; the batch dimension is parallel.  Each
+grid step computes PCOL=8 reference columns with the DP state carried in
+vector registers between columns — scratch is read/written once per group,
+not once per column.
 """
 
 from __future__ import annotations
@@ -39,9 +41,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from darwin_tpu.ops import gact
+from darwin_tpu.ops import oracle as _orc
+
+orc_OP_M = int(_orc.OP_M)
+orc_OP_D = int(_orc.OP_D)
+orc_OP_I = int(_orc.OP_I)
 
 LANES = 128
+PCOL = 8          # ref columns per grid step for standard tiles
 NEG16 = -(1 << 28)
+
+
+def _pick_pcol(qt: int) -> int:
+    """Columns per grid step: the unrolled column loop keeps ~20 (QT, 128)
+    int32 values live, so large-tile variants (1984x960 escalation tiles,
+    software/extender.cpp:70-76) must unroll less to fit the Mosaic stack
+    in VMEM."""
+    if qt <= 512:
+        return PCOL
+    return 2 if qt <= 1024 else 1
 
 
 def _shift_down(x, s, fill):
@@ -65,16 +83,15 @@ def _cummax_sublanes(x, n):
 
 def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
                score_ref, qpos_ref, rpos_ref, trace_ref,
-               h_ref, e_ref, el_ref, ebits_ref, hroll_ref,
+               e_ref, el_ref, ebits_ref, hroll_ref,
                best_ref, hend_ref,
-               *, QT, RT, sub, go, ge, goL, geL,
+               *, QT, n_groups, pcol, sub, go, ge, goL, geL,
                all_start_end, with_trace):
     r = pl.program_id(1)
     qio = jax.lax.broadcasted_iota(jnp.int32, (QT, LANES), 0)
 
     @pl.when(r == 0)
     def _init():
-        h_ref[:] = jnp.zeros((QT, LANES), jnp.int32)
         hroll_ref[:] = jnp.zeros((QT, LANES), jnp.int32)
         e_ref[:] = jnp.full((QT, LANES), go, jnp.int32)
         el_ref[:] = jnp.full((QT, LANES), goL, jnp.int32)
@@ -83,114 +100,331 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
         best_ref[:] = jnp.zeros((3, LANES), jnp.int32)
         hend_ref[:] = jnp.zeros((1, LANES), jnp.int32)
 
-    # current ref row out of the 8-row block (dynamic sublane loads on int8
-    # aren't supported by Mosaic -> select-reduce over the 8 rows)
-    rows8 = rT_ref[:].astype(jnp.int32)                  # (8, LANES)
-    row8io = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    rc = jnp.max(jnp.where(row8io == r % 8, rows8, -1),
-                 axis=0, keepdims=True)                  # (1, LANES)
-    # substitution profile on the fly (CreateVProfile, Processor.cpp:87-115):
-    # per-lane sub-matrix column for rc via (1,LANES) selects, then one
-    # select chain over the query codes — no per-block profile scratch, so
-    # large-tile variants (QT up to 1984) stay inside VMEM.
     qc = qT_ref[:].astype(jnp.int32)                     # (QT, LANES)
-    subrow = []
-    for qv in range(5):
-        srv = jnp.full((1, LANES), int(sub[qv][0]), jnp.int32)
-        for c in range(1, 5):
-            srv = jnp.where(rc == c, int(sub[qv][c]), srv)
-        subrow.append(srv)
-    prof = jnp.broadcast_to(subrow[0], (QT, LANES))
-    for qv in range(1, 5):
-        prof = jnp.where(qc == qv, subrow[qv], prof)
+    rows = rT_ref[:].astype(jnp.int32)                   # (8, LANES)
+    row8io = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    qlen = qlen_ref[:]                                   # (1, LANES) int32
+    rlen = rlen_ref[:]
+    arow = qio - 1                                       # j = q - 1
+    q_end = qio == qlen - 1
 
+    # ---- state, register-carried across the PCOL columns of this group ----
     h_prev_roll = hroll_ref[:]
     e = e_ref[:]
     el = el_ref[:]
+    ebits = ebits_ref[:]
+    best = best_ref[0:1]
+    best_q = best_ref[1:2]
+    best_r = best_ref[2:3]
+    hend = hend_ref[:]
 
-    dag = jnp.maximum(h_prev_roll + prof, 0)
-    hp = jnp.maximum(jnp.maximum(dag, e), el)
+    for c in range(pcol):
+        rr = r * pcol + c                                # column index
+        if pcol == 8:
+            rc = rows[c:c + 1]                           # (1, LANES)
+        else:
+            # block holds 8 ref rows; select the live one (dynamic sublane
+            # loads on int8 aren't supported by Mosaic)
+            rc = jnp.max(jnp.where(row8io == (r * pcol) % 8 + c, rows, -1),
+                         axis=0, keepdims=True)
+        # substitution profile on the fly (CreateVProfile,
+        # Processor.cpp:87-115): per-lane sub-matrix column for rc via
+        # (1,LANES) selects, then one select chain over the query codes —
+        # no profile scratch, so large-tile variants (QT up to 1984) stay
+        # inside VMEM.
+        subrow = []
+        for qv in range(5):
+            srv = jnp.full((1, LANES), int(sub[qv][0]), jnp.int32)
+            for cc in range(1, 5):
+                srv = jnp.where(rc == cc, int(sub[qv][cc]), srv)
+            subrow.append(srv)
+        prof = jnp.broadcast_to(subrow[0], (QT, LANES))
+        for qv in range(1, 5):
+            prof = jnp.where(qc == qv, subrow[qv], prof)
 
-    # within-column gaps: F(q) = go + ge*(q-1) + max_{j<q}(hp(j) - ge*j)
-    # with the j = -1 boundary folded in as row 0 (see
-    # gact._column_gaps_prefix).
-    hp_sh = _shift_down(hp, 1, 0)
-    arow = qio - 1                                       # j = q-1
-    f = go + ge * arow + _cummax_sublanes(hp_sh - ge * arow, QT)
-    fl = goL + geL * arow + _cummax_sublanes(hp_sh - geL * arow, QT)
-    h = jnp.maximum(hp, jnp.maximum(f, fl))
+        dag = jnp.maximum(h_prev_roll + prof, 0)
+        hp = jnp.maximum(jnp.maximum(dag, e), el)
 
-    if with_trace:
-        # 8-bit trace word; identical priority chain to gact.batch_align
-        is_d = h == dag
-        is_f = h == f
-        is_fl = h == fl
-        is_el = h == el
-        t = jnp.full((QT, LANES), gact.T8_DEL, jnp.int32)
-        t = jnp.where(is_d, jnp.where(h == 0, gact.T8_ZERO, gact.T8_DIAG), t)
-        t = jnp.where(is_fl, gact.T8_INS_L, t)
-        t = jnp.where(is_el, gact.T8_DEL_L, t)
-        t = jnp.where(~is_d & ~is_f & is_fl, gact.T8_INS_L, t)
-        t = jnp.where(~is_d & is_f, gact.T8_INS, t)
-
+        # within-column gaps: F(q) = go + ge*(q-1) + max_{j<q}(hp(j) - ge*j)
+        # with the j = -1 boundary folded in as row 0 (see
+        # gact._column_gaps_prefix).
+        hp_sh = _shift_down(hp, 1, 0)
+        f = go + ge * arow + _cummax_sublanes(hp_sh - ge * arow, QT)
+        fl = goL + geL * arow + _cummax_sublanes(hp_sh - geL * arow, QT)
+        h = jnp.maximum(hp, jnp.maximum(f, fl))
         h_up = _shift_down(h, 1, 0)
-        f_up = _shift_down(f, 1, NEG16)
-        fl_up = _shift_down(fl, 1, NEG16)
-        fbits = jnp.where(h_up + go > f_up + ge, gact.F_OPEN8, 0)
-        flbits = jnp.where(h_up + goL > fl_up + geL, gact.FL_OPEN8, 0)
-        word = t + fbits + flbits + ebits_ref[:]
-        trace_ref[0] = word.astype(jnp.uint8)
-    else:
-        h_up = _shift_down(h, 1, 0)
 
-    e_open = h + go
-    e_ext = e + ge
-    el_open = h + goL
-    el_ext = el + geL
-    ebits_ref[:] = (jnp.where(e_open > e_ext, gact.E_OPEN8, 0)
-                    + jnp.where(el_open > el_ext, gact.EL_OPEN8, 0))
-    e_ref[:] = jnp.maximum(e_open, e_ext)
-    el_ref[:] = jnp.maximum(el_open, el_ext)
-    h_ref[:] = h
-    hroll_ref[:] = h_up
+        if with_trace:
+            # 8-bit trace word; identical priority chain to gact.batch_align
+            is_d = h == dag
+            is_f = h == f
+            is_fl = h == fl
+            is_el = h == el
+            t = jnp.full((QT, LANES), gact.T8_DEL, jnp.int32)
+            t = jnp.where(is_d,
+                          jnp.where(h == 0, gact.T8_ZERO, gact.T8_DIAG), t)
+            t = jnp.where(is_fl, gact.T8_INS_L, t)
+            t = jnp.where(is_el, gact.T8_DEL_L, t)
+            t = jnp.where(~is_d & ~is_f & is_fl, gact.T8_INS_L, t)
+            t = jnp.where(~is_d & is_f, gact.T8_INS, t)
 
-    qlen = qlen_ref[:]                                   # (1, LANES) int32
-    rlen = rlen_ref[:]
+            f_up = _shift_down(f, 1, NEG16)
+            fl_up = _shift_down(fl, 1, NEG16)
+            fbits = jnp.where(h_up + go > f_up + ge, gact.F_OPEN8, 0)
+            flbits = jnp.where(h_up + goL > fl_up + geL, gact.FL_OPEN8, 0)
+            word = t + fbits + flbits + ebits
+            trace_ref[c] = word.astype(jnp.uint8)
 
+        e_open = h + go
+        e_ext = e + ge
+        el_open = h + goL
+        el_ext = el + geL
+        ebits = (jnp.where(e_open > e_ext, gact.E_OPEN8, 0)
+                 + jnp.where(el_open > el_ext, gact.EL_OPEN8, 0))
+        e = jnp.maximum(e_open, e_ext)
+        el = jnp.maximum(el_open, el_ext)
+        h_prev_roll = h_up
+
+        if not all_start_end:
+            # max tracking: earliest column with a strict improvement, then
+            # smallest q within the column (Processor.cpp:502-541)
+            valid = (qio < qlen) & (rr < rlen)
+            hm = jnp.where(valid, h, -1)
+            colmax = jnp.max(hm, axis=0, keepdims=True)  # (1, LANES)
+            colargq = jnp.min(jnp.where(hm == colmax, qio, QT),
+                              axis=0, keepdims=True)
+            improved = colmax > best
+            best = jnp.where(improved, colmax, best)
+            best_q = jnp.where(improved, colargq, best_q)
+            best_r = jnp.where(improved, rr, best_r)
+
+        # start_end capture: H at (qlen-1, rlen-1)
+        h_at_qend = jnp.max(jnp.where(q_end, h, NEG16),
+                            axis=0, keepdims=True)
+        hend = jnp.where(rr == rlen - 1, h_at_qend, hend)
+
+    e_ref[:] = e
+    el_ref[:] = el
+    ebits_ref[:] = ebits
+    hroll_ref[:] = h_prev_roll
     if not all_start_end:
-        # max tracking: earliest column with a strict improvement, then
-        # smallest q within the column (Processor.cpp:502-541)
-        valid = (qio < qlen) & (r < rlen)
-        hm = jnp.where(valid, h, -1)
-        colmax = jnp.max(hm, axis=0, keepdims=True)      # (1, LANES)
-        colargq = jnp.min(jnp.where(hm == colmax, qio, QT),
-                          axis=0, keepdims=True)
-        best = best_ref[0:1]
-        improved = colmax > best
-        best_ref[0:1] = jnp.where(improved, colmax, best)
-        best_ref[1:2] = jnp.where(improved, colargq, best_ref[1:2])
-        best_ref[2:3] = jnp.where(improved, r, best_ref[2:3])
+        best_ref[0:1] = best
+        best_ref[1:2] = best_q
+        best_ref[2:3] = best_r
+    hend_ref[:] = hend
 
-    # start_end capture: H at (qlen-1, rlen-1)
-    h_at_qend = jnp.max(jnp.where(qio == qlen - 1, h, NEG16),
-                        axis=0, keepdims=True)
-    hend_ref[:] = jnp.where(r == rlen - 1, h_at_qend, hend_ref[:])
-
-    @pl.when(r == RT - 1)
+    @pl.when(r == n_groups - 1)
     def _fin():
         se = se_ref[:] != 0
         if all_start_end:
-            score_ref[:] = hend_ref[:]
+            score_ref[:] = hend
             qpos_ref[:] = qlen - 1
             rpos_ref[:] = rlen - 1
         else:
-            score_ref[:] = jnp.where(se, hend_ref[:], best_ref[0:1])
-            qpos_ref[:] = jnp.where(se, qlen - 1, best_ref[1:2])
-            rpos_ref[:] = jnp.where(se, rlen - 1, best_ref[2:3])
+            score_ref[:] = jnp.where(se, hend, best)
+            qpos_ref[:] = jnp.where(se, qlen - 1, best_q)
+            rpos_ref[:] = jnp.where(se, rlen - 1, best_r)
 
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Pallas traceback: backward column sweep
+# ---------------------------------------------------------------------------
+#
+# The serial traceback (gact.batch_traceback*) chases one pointer per lane
+# per step — B x path_length dependent HBM gathers, ~12ns each, which made
+# it as expensive as the whole DP.  TPU-natively the walk is re-expressed as
+# a *backward sweep over ref columns*: the path's column index j decreases
+# by exactly one per M/D op, so at any moment every active lane sits in the
+# same global column.  The sweep streams the (QT, LANES) trace slab of each
+# column through VMEM (sequential DMA at full bandwidth) and extracts each
+# lane's word with a masked reduce over sublanes — dense vector ops, no
+# gathers.  Within a column a lane consumes a run of I ops (i decreases,
+# j fixed) and then one closing M or D op (or terminates); the kernel emits
+# one int32 record per (column, lane):
+#
+#     bits 0..15  nI       number of I ops emitted in this column
+#     bits 16..17 closing  0 = walk ended here (or never visited),
+#                          OP_M / OP_D otherwise
+#
+# expanded on the host (vectorized np.repeat) into the exact op sequence of
+# the serial walker — same state machine, same caps (Processor.cpp:585-716).
+
+_TB_DIAG = gact.T8_DIAG
+_TB_DONE = 0
+
+
+def _tb_kernel(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref, rsteps_ref,
+               st_ref, i_ref, qs_ref, rs_ref, *, QT, n_groups, pcol,
+               max_tb):
+    r = pl.program_id(1)
+    qio = jax.lax.broadcasted_iota(jnp.int32, (QT, LANES), 0)
+
+    @pl.when(r == 0)
+    def _init():
+        st_ref[:] = jnp.full((1, LANES), _TB_DONE, jnp.int32)
+        i_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        qs_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        rs_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+
+    st = st_ref[:]
+    i = i_ref[:]
+    qs = qs_ref[:]
+    rs = rs_ref[:]
+    sq = sq_ref[:]
+    sr = sr_ref[:]
+
+    for c in range(pcol - 1, -1, -1):
+        jglob = (n_groups - 1 - r) * pcol + c
+        # activate lanes whose walk starts at this column
+        newly = sr == jglob
+        i = jnp.where(newly, sq, i)
+        st = jnp.where(newly, _TB_DIAG, st)
+
+        words = trace_ref[c].astype(jnp.int32)           # (QT, LANES)
+
+        def cond(carry):
+            st, i, qs, rs, nI, closing, closed = carry
+            working = (st != _TB_DONE) & (closed == 0)
+            return jnp.any(working)
+
+        def body(carry):
+            st, i, qs, rs, nI, closing, closed = carry
+            working = (st != _TB_DONE) & (closed == 0)
+            # caps + bounds checked at loop top (Processor.cpp:613-618)
+            ended = (qs == max_tb) | (rs == max_tb) | (i < 0)
+            st = jnp.where(working & ended, _TB_DONE, st)
+            working = working & ~ended
+
+            w = jnp.max(jnp.where(qio == i, words, 0), axis=0,
+                        keepdims=True)                   # per-lane word
+            tf = w & 7
+            eff = jnp.where(st == _TB_DIAG, tf, st)
+            is_m = working & (eff == gact.T8_DIAG)
+            is_d = working & ((eff == gact.T8_DEL) | (eff == gact.T8_DEL_L))
+            is_i = working & ((eff == gact.T8_INS) | (eff == gact.T8_INS_L))
+            is_zero = working & (eff == _TB_DONE)
+
+            open_bit = jnp.where(eff == gact.T8_DEL, w & gact.E_OPEN8,
+                        jnp.where(eff == gact.T8_INS, w & gact.F_OPEN8,
+                         jnp.where(eff == gact.T8_DEL_L, w & gact.EL_OPEN8,
+                          jnp.where(eff == gact.T8_INS_L,
+                                    w & gact.FL_OPEN8, 1))))
+            nst = jnp.where(is_m | (open_bit != 0), _TB_DIAG, eff)
+
+            qs = qs + jnp.where(is_m | is_i, 1, 0)
+            rs = rs + jnp.where(is_m | is_d, 1, 0)
+            i = i - jnp.where(is_m | is_i, 1, 0)
+            nI = nI + jnp.where(is_i, 1, 0)
+            closing = jnp.where(is_m, orc_OP_M,
+                                jnp.where(is_d, orc_OP_D, closing))
+            closed = jnp.where(is_m | is_d, 1, closed)
+            st = jnp.where(is_zero, _TB_DONE, jnp.where(working, nst, st))
+            return (st, i, qs, rs, nI, closing, closed)
+
+        zeros = jnp.zeros((1, LANES), jnp.int32)
+        st, i, qs, rs, nI, closing, _ = jax.lax.while_loop(
+            cond, body, (st, i, qs, rs, zeros, zeros, zeros))
+        rec_ref[c:c + 1] = nI + (closing << 16)
+
+    st_ref[:] = st
+    i_ref[:] = i
+    qs_ref[:] = qs
+    rs_ref[:] = rs
+
+    @pl.when(r == n_groups - 1)
+    def _fin():
+        qsteps_ref[:] = qs
+        rsteps_ref[:] = rs
+
+
+@functools.partial(jax.jit, static_argnames=("max_tb", "interpret"))
+def _tb_call(trace, start_q, start_r, max_tb, interpret):
+    RT, QT, B = trace.shape
+    pcol = 8          # the sweep's live set is small at any QT
+    n_groups = RT // pcol
+    sq = start_q.astype(jnp.int32)[None, :]
+    sr = start_r.astype(jnp.int32)[None, :]
+    if sq.shape[1] != B:
+        sq = jnp.pad(sq, ((0, 0), (0, B - sq.shape[1])), constant_values=-1)
+        sr = jnp.pad(sr, ((0, 0), (0, B - sr.shape[1])), constant_values=-1)
+
+    kern = functools.partial(_tb_kernel, QT=QT, n_groups=n_groups,
+                             pcol=pcol, max_tb=max_tb)
+    row_spec = pl.BlockSpec((1, LANES), lambda b, r: (0, b),
+                            memory_space=pltpu.VMEM)
+    try:
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    except TypeError:
+        cparams = None
+    rec, qsteps, rsteps = pl.pallas_call(
+        kern,
+        grid=(B // LANES, n_groups),
+        in_specs=[
+            pl.BlockSpec((pcol, QT, LANES),
+                         lambda b, r: (n_groups - 1 - r, 0, b),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((pcol, LANES), lambda b, r: (n_groups - 1 - r, b),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RT, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32)] * 4,
+        compiler_params=cparams,
+        interpret=interpret,
+    )(trace, sq, sr)
+    return rec, qsteps[0], rsteps[0]
+
+
+def _expand_records(rec: np.ndarray, n_valid: int, L: int):
+    """Expand per-column (nI, closing) records into the serial walker's op
+    arrays — vectorized np.repeat, no per-op Python loop.
+
+    rec: (RT, B) int32.  Returns ops (n_valid, L) uint8 + n_ops (n_valid,).
+    """
+    RT, B = rec.shape
+    nI = (rec[:, :n_valid] & 0xFFFF).astype(np.int64)     # (RT, n_valid)
+    closing = (rec[:, :n_valid] >> 16) & 0x3
+    # walk order per lane: columns start_r, start_r-1, ..., 0 -> reorder
+    # rows by descending column index.  Columns above start_r and columns
+    # after the walk terminated hold all-zero records (the kernel only
+    # writes for active lanes), so no extra masking is needed.
+    nI_d = nI[::-1]
+    cl_d = closing[::-1]
+
+    # token stream per lane: for each visited column, nI I-ops then the
+    # closing op (if any).  Build lane-major (B, RT, 2) counts+values.
+    cnts = np.empty((n_valid, RT, 2), np.int64)
+    vals = np.empty((n_valid, RT, 2), np.uint8)
+    cnts[:, :, 0] = nI_d.T
+    cnts[:, :, 1] = (cl_d.T != 0)
+    vals[:, :, 0] = orc_OP_I
+    vals[:, :, 1] = cl_d.T.astype(np.uint8)
+    flat_cnt = cnts.reshape(-1)
+    flat_val = vals.reshape(-1)
+    stream = np.repeat(flat_val, flat_cnt)
+    per_lane = cnts.reshape(n_valid, -1).sum(axis=1)
+    ops = np.zeros((n_valid, L), np.uint8)
+    if stream.size:
+        off = np.concatenate(([0], np.cumsum(per_lane)))
+        lane_of = np.repeat(np.arange(n_valid), per_lane)
+        pos = np.arange(stream.size) - off[lane_of]
+        keep = pos < L
+        ops[lane_of[keep], pos[keep]] = stream[keep]
+    return ops, per_lane.astype(np.int32)
+
+
 
 
 @functools.partial(
@@ -201,9 +435,11 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
              with_trace, all_start_end, interpret):
     sub, go, ge, goL, geL = params_static
     B0, QT0 = qcodes.shape
-    RT = rcodes.shape[1]
+    RT0 = rcodes.shape[1]
     B = _round_up(B0, LANES)
     QT = _round_up(QT0, 32)
+    pcol = _pick_pcol(QT)
+    RT = _round_up(RT0, 8)   # 8 also keeps the traceback sweep's blocking
     if B != B0:
         qcodes = jnp.pad(qcodes, ((0, B - B0), (0, 0)))
         rcodes = jnp.pad(rcodes, ((0, B - B0), (0, 0)))
@@ -212,16 +448,20 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
         start_end = jnp.pad(start_end, (0, B - B0))
     if QT != QT0:
         qcodes = jnp.pad(qcodes, ((0, 0), (0, QT - QT0)))
+    if RT != RT0:
+        rcodes = jnp.pad(rcodes, ((0, 0), (0, RT - RT0)))
 
     qT = qcodes.T                                        # (QT, B)
     rT = rcodes.T                                        # (RT, B)
     qlen2 = qlens.astype(jnp.int32)[None, :]
     rlen2 = rlens.astype(jnp.int32)[None, :]
     se2 = start_end.astype(jnp.int32)[None, :]
+    n_groups = RT // pcol
 
     kern = functools.partial(
-        _dp_kernel, QT=QT, RT=RT, sub=sub, go=go, ge=ge, goL=goL, geL=geL,
-        all_start_end=all_start_end, with_trace=with_trace)
+        _dp_kernel, QT=QT, n_groups=n_groups, pcol=pcol, sub=sub, go=go,
+        ge=ge, goL=goL, geL=geL, all_start_end=all_start_end,
+        with_trace=with_trace)
 
     row_spec = pl.BlockSpec((1, LANES), lambda b, r: (0, b),
                             memory_space=pltpu.VMEM)
@@ -232,7 +472,7 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
         jax.ShapeDtypeStruct((RT, QT, B), jnp.uint8),
     ]
     out_specs = [row_spec, row_spec, row_spec,
-                 pl.BlockSpec((1, QT, LANES), lambda b, r: (r, 0, b),
+                 pl.BlockSpec((pcol, QT, LANES), lambda b, r: (r, 0, b),
                               memory_space=pltpu.VMEM)]
     if not with_trace:
         out_shapes = out_shapes[:3]
@@ -254,18 +494,17 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
 
     out = pl.pallas_call(
         body,
-        grid=(B // LANES, RT),
+        grid=(B // LANES, n_groups),
         in_specs=[
             pl.BlockSpec((QT, LANES), lambda b, r: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda b, r: (r // 8, b),
+            pl.BlockSpec((8, LANES), lambda b, r: (r * pcol // 8, b),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((QT, LANES), jnp.int32),    # h
             pltpu.VMEM((QT, LANES), jnp.int32),    # e
             pltpu.VMEM((QT, LANES), jnp.int32),    # el
             pltpu.VMEM((QT, LANES), jnp.int32),    # ebits
@@ -299,15 +538,37 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
                     interpret)
 
 
-def align_and_traceback(qcodes, rcodes, qlens, rlens, start_end, params,
-                        max_tb_steps, all_start_end=False, interpret=False):
-    """One dispatch DP + batched traceback (Pallas DP, lax traceback)."""
+def align_and_traceback_device(qcodes, rcodes, qlens, rlens, start_end,
+                               params, max_tb_steps, all_start_end=False,
+                               interpret=False):
+    """Fully on-device DP + sweep traceback; jittable.  Returns score/pos
+    plus the raw per-column traceback records (expand with
+    _expand_records)."""
     res = batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
                       with_trace=True, all_start_end=all_start_end,
                       interpret=interpret)
-    tb = gact.batch_traceback_cols(
+    rec, qsteps, rsteps = _tb_call(
         res["trace"],
         jnp.where(start_end, qlens - 1, res["query_max_pos"]),
         jnp.where(start_end, rlens - 1, res["ref_max_pos"]),
-        max_tb_steps, n_valid=qcodes.shape[0])
-    return {k: v for k, v in res.items() if k != "trace"} | tb
+        max_tb_steps, interpret)
+    return ({k: v for k, v in res.items() if k != "trace"}
+            | {"rec": rec, "q_steps_all": qsteps, "r_steps_all": rsteps})
+
+
+def align_and_traceback(qcodes, rcodes, qlens, rlens, start_end, params,
+                        max_tb_steps, all_start_end=False, interpret=False):
+    """One dispatch DP + sweep traceback; ops expanded on the host
+    (np.repeat over the run-length records — no per-op Python loop)."""
+    B0 = qcodes.shape[0]
+    out = align_and_traceback_device(
+        qcodes, rcodes, qlens, rlens, start_end, params, max_tb_steps,
+        all_start_end=all_start_end, interpret=interpret)
+    rec = out.pop("rec")                      # (RT, B)
+    qsteps = out.pop("q_steps_all")
+    rsteps = out.pop("r_steps_all")
+    L = min(qcodes.shape[1] + rec.shape[0], 2 * max_tb_steps)
+    ops, n_ops = _expand_records(np.asarray(rec), B0, L)
+    return out | {"ops": ops, "n_ops": n_ops,
+                  "q_steps": np.asarray(qsteps)[:B0],
+                  "r_steps": np.asarray(rsteps)[:B0]}

@@ -56,6 +56,34 @@ def test_pallas_traceback_matches_lax(rng):
                                       err_msg=f"tile {b}")
 
 
+def test_pallas_max_tb_cap(rng):
+    """The sweep traceback checks the max_tb_steps caps per inner
+    iteration; must truncate exactly like the serial walker."""
+    B, QT, RT = 8, 48, 48
+    qcodes, rcodes, qlens, rlens, _ = _make_batch(rng, B, QT, RT)
+    se = np.ones(B, bool)
+    qlens[:] = QT
+    rlens[:] = RT
+    args = (jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
+            jnp.asarray(rlens), jnp.asarray(se), PARAMS)
+    for max_tb in (7, 10):
+        ref = gact.align_and_traceback(*args, max_tb)
+        pal = gact_pallas.align_and_traceback(*args, max_tb,
+                                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref["n_ops"]),
+                                      np.asarray(pal["n_ops"]))
+        np.testing.assert_array_equal(np.asarray(ref["q_steps"]),
+                                      np.asarray(pal["q_steps"]))
+        np.testing.assert_array_equal(np.asarray(ref["r_steps"]),
+                                      np.asarray(pal["r_steps"]))
+        ops_ref = np.asarray(ref["ops"])
+        ops_pal = np.asarray(pal["ops"])
+        for b in range(B):
+            n = int(ref["n_ops"][b])
+            np.testing.assert_array_equal(ops_ref[b, :n], ops_pal[b, :n],
+                                          err_msg=f"tile {b} cap {max_tb}")
+
+
 def test_pallas_all_start_end_mode(rng):
     """The extend-tile specialization (max tracking compiled out)."""
     B, QT, RT = 8, 48, 48
