@@ -120,7 +120,7 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
 
     for c in range(pcol):
         rr = r * pcol + c                                # column index
-        if pcol == 8:
+        if pcol >= 8:
             rc = rows[c:c + 1]                           # (1, LANES)
         else:
             # block holds 8 ref rows; select the live one (dynamic sublane
@@ -439,7 +439,8 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
     B = _round_up(B0, LANES)
     QT = _round_up(QT0, 32)
     pcol = _pick_pcol(QT)
-    RT = _round_up(RT0, 8)   # 8 also keeps the traceback sweep's blocking
+    # multiple of 8 also keeps the traceback sweep's blocking valid
+    RT = _round_up(RT0, max(8, pcol))
     if B != B0:
         qcodes = jnp.pad(qcodes, ((0, B - B0), (0, 0)))
         rcodes = jnp.pad(rcodes, ((0, B - B0), (0, 0)))
@@ -498,7 +499,8 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
         in_specs=[
             pl.BlockSpec((QT, LANES), lambda b, r: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda b, r: (r * pcol // 8, b),
+            pl.BlockSpec((max(8, pcol), LANES),
+                         lambda b, r: (r * pcol // max(8, pcol), b),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
         ],

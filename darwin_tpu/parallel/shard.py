@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from darwin_tpu.ops import gact
-from darwin_tpu.ops.dispatch import gather_tiles
+from darwin_tpu.ops.dispatch import gather_tiles, use_pallas
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -72,6 +72,44 @@ def sharded_extend_tiles(mesh: Mesh, ref_codes, query_codes, r_start, r_size,
                         q_size, rev, params, qt, rt, max_tb)
 
 
+@functools.cache
+def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
+                        axis: str = "data"):
+    """shard_map'd Pallas extend-tile step: each device gathers and aligns
+    its local slice of the tile batch with the Pallas kernel (Pallas calls
+    don't partition automatically under pjit the way lax.scan does, so the
+    per-device program is made explicit).  Requires the local batch to be a
+    multiple of 128 lanes (MeshDispatcher.pad guarantees it)."""
+    from jax.experimental.shard_map import shard_map
+    from darwin_tpu.ops import gact_pallas
+
+    P_ = P
+    spec_b = P_(axis)
+    spec_rep = P_()
+
+    def step(refc, qc, r_start, r_size, q_start, q_size, rev):
+        qtile, rtile = gather_tiles(refc, qc, r_start, r_size, q_start,
+                                    q_size, rev, qt, rt)
+        res = gact_pallas._dp_call(
+            qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
+            jnp.ones(r_start.shape, bool), params_static,
+            True, True, False)
+        rec, qsteps, rsteps = gact_pallas._tb_call(
+            res.pop("trace"), q_size.astype(jnp.int32) - 1,
+            r_size.astype(jnp.int32) - 1, max_tb, False)
+        return res | {"rec": rec, "q_steps_all": qsteps,
+                      "r_steps_all": rsteps}
+
+    out_specs = {"score": spec_b, "query_max_pos": spec_b,
+                 "ref_max_pos": spec_b, "rec": P_(None, axis),
+                 "q_steps_all": spec_b, "r_steps_all": spec_b}
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_b, spec_b, spec_b, spec_b,
+                  spec_b),
+        out_specs=out_specs, check_rep=False))
+
+
 class MeshDispatcher:
     """Pipeline-facing dispatcher: replicates resident sequence buffers once
     and shards every per-round tile batch over the mesh.  Drop-in for the
@@ -88,14 +126,31 @@ class MeshDispatcher:
         return shard_batch(self.mesh, *arrays)
 
     def pad(self, b: int) -> int:
-        """Round a batch size up so every shard is non-empty and equal."""
-        m = max(self.n, 8)
+        """Round a batch size up so every shard is non-empty and equal
+        (and, on the Pallas path, a full 128-lane block per device)."""
+        m = self.n * 128 if use_pallas() else max(self.n, 8)
         return -(-b // m) * m
 
     def extend_tiles(self, ref_codes, query_codes, r_start, r_size, q_start,
                      q_size, rev, params, *, qt, rt, max_tb):
+        B = int(r_start.shape[0])
         (r_start, r_size, q_start, q_size, rev) = self._shard(
             r_start, r_size, q_start, q_size, rev)
+        if use_pallas():
+            from darwin_tpu.ops import gact_pallas
+            step = _pallas_extend_step(
+                self.mesh, gact_pallas._static_params(params), qt, rt,
+                max_tb)
+            out = step(ref_codes, query_codes, r_start, r_size, q_start,
+                       q_size, rev)
+            rec = out.pop("rec")
+            qsteps = out.pop("q_steps_all")
+            rsteps = out.pop("r_steps_all")
+            L = min(qt + rec.shape[0], 2 * max_tb)
+            ops, n_ops = gact_pallas._expand_records(np.asarray(rec), B, L)
+            return out | {"ops": ops, "n_ops": n_ops,
+                          "q_steps": np.asarray(qsteps)[:B],
+                          "r_steps": np.asarray(rsteps)[:B]}
         return _extend_step(ref_codes, query_codes, r_start, r_size,
                             q_start, q_size, rev, params, qt, rt, max_tb)
 
