@@ -39,6 +39,15 @@ class SeedTable:
     def num_seeds(self) -> int:
         return int(self.sorted_hashes.shape[0])
 
+    def is_present(self, kmer_hash: int) -> bool:
+        """Whether the bucket for this minimizer hash is usable: non-empty
+        and within the occupancy cap (SeedPosTable::IsPresent,
+        software/seed_pos_table.h:537-569 / seed_pos_table.cpp:242-250)."""
+        h = np.asarray(self.sorted_hashes)
+        lo = int(np.searchsorted(h, kmer_hash, side="left"))
+        hi = int(np.searchsorted(h, kmer_hash, side="right"))
+        return 0 < hi - lo <= self.kmer_max_occurence
+
     def save(self, path: str):
         """Persist the index (no reference equivalent — the reference
         rebuilds from FASTA every run; SURVEY.md section 5 'checkpoint')."""

@@ -67,7 +67,7 @@ class Aligner:
                                if self.mesh_dispatch else jnp.asarray(codes))
         return self._ref_codes
 
-    def _filter_strand(self, reads, anchors_per_read, strand):
+    def _filter_strand(self, reads, anchors_per_read, strand, counters):
         """Run first tiles for one strand; returns slope-filtered locations
         (software/filter.cpp:8-228)."""
         cfg = self.cfg
@@ -75,7 +75,7 @@ class Aligner:
                                       0 if strand == "+" else 1,
                                       self.store, cfg)
         n = len(batch.meta)
-        self.counters["num_filter_tiles"] += n
+        counters["num_filter_tiles"] += n
         if n == 0:
             return []
         # strand-local query buffer for the whole batch
@@ -115,19 +115,28 @@ class Aligner:
         scores = np.asarray(res["score"])[:n]
         rmax = np.asarray(res["ref_max_pos"])[:n]
         qmax = np.asarray(res["query_max_pos"])[:n]
-        self.counters["num_extend_requests"] += int(
+        counters["num_extend_requests"] += int(
             (scores >= cfg.first_tile_score_threshold).sum())
         locs = flt.collect_locations(batch, scores, rmax, qmax, reads,
                                      self.store, cfg)
-        return flt.slope_filter(locs, cfg, self.counters)
+        return flt.slope_filter(locs, cfg, counters)
 
-    def align_batch(self, reads: List[Read]) -> List[str]:
-        """Seed, filter, extend, and print one batch of reads."""
+    def align_batch(self, reads: List[Read], counters=None) -> List[str]:
+        """Seed, filter, extend, and print one batch of reads.
+
+        counters: per-batch counter dict for pipelined callers (two batches
+        in flight share the Aligner but must not race on counts); defaults
+        to the Aligner-wide dict for single-threaded use.
+        """
         cfg = self.cfg
-        self.counters["num_reads"] += len(reads)
+        if counters is None:
+            counters = self.counters
+        counters["num_reads"] += len(reads)
         seeded = self.seeder.seed_batch(reads)
-        fw_locs = self._filter_strand(reads, seeded.fw_anchors, "+")
-        rc_locs = self._filter_strand(reads, seeded.rc_anchors, "-")
+        fw_locs = self._filter_strand(reads, seeded.fw_anchors, "+",
+                                      counters)
+        rc_locs = self._filter_strand(reads, seeded.rc_anchors, "-",
+                                      counters)
 
         # group per read, per strand (fw then rc), preserving slope-filter
         # order within the group — the reference's effective one-read batches
@@ -138,7 +147,7 @@ class Aligner:
 
         mgr = ExtensionManager(self.store, reads, cfg, self.params,
                                mesh_dispatch=self.mesh_dispatch)
-        emitted = mgr.run(groups, reads, self.counters)
+        emitted = mgr.run(groups, reads, counters)
 
         # per read: fw emissions then rc emissions (extender_body order)
         alignments = []
@@ -153,7 +162,14 @@ class Aligner:
 
 def run(ref_path: str, reads_path: str, do_overlap: bool,
         cfg: Config | None = None, out=None, err=None,
-        reads_per_batch: int = 16, index_cache: str | None = None) -> None:
+        reads_per_batch: int = 16, index_cache: str | None = None,
+        pipeline_depth: int = 2) -> None:
+    """pipeline_depth: read batches in flight (the TPU analog of the
+    reference's token-throttled TBB flow graph, software/main.cpp:607-624);
+    batch i+1's device dispatches overlap batch i's host-side decode and
+    printing.  Output order and counters are deterministic — results are
+    collected in submission order and per-batch counters are merged on
+    collection."""
     out = out or sys.stdout
     err = err or sys.stderr
     cfg = cfg or Config()
@@ -188,13 +204,44 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     t0 = time.time()
     reads = load_reads(reads_path)
     header_done = False
-    for b in range(0, len(reads), reads_per_batch):
-        batch = reads[b:b + reads_per_batch]
-        lines = aligner.align_batch(batch)
-        if lines and not do_overlap and not header_done:
-            out.write(printer.sam_header(store))
-            header_done = True
-        out.writelines(lines)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            dst[k] += v
+
+    batches = [reads[b:b + reads_per_batch]
+               for b in range(0, len(reads), reads_per_batch)]
+    if pipeline_depth > 1 and len(batches) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+        with ThreadPoolExecutor(max_workers=pipeline_depth) as pool:
+            inflight = deque()
+
+            def drain():
+                nonlocal header_done
+                fut, cnt = inflight.popleft()
+                lines = fut.result()
+                merge(aligner.counters, cnt)
+                if lines and not do_overlap and not header_done:
+                    out.write(printer.sam_header(store))
+                    header_done = True
+                out.writelines(lines)
+
+            for batch in batches:
+                cnt = new_counters()
+                inflight.append(
+                    (pool.submit(aligner.align_batch, batch, cnt), cnt))
+                if len(inflight) >= pipeline_depth:
+                    drain()
+            while inflight:
+                drain()
+    else:
+        for batch in batches:
+            lines = aligner.align_batch(batch)
+            if lines and not do_overlap and not header_done:
+                out.write(printer.sam_header(store))
+                header_done = True
+            out.writelines(lines)
     c = aligner.counters
     print(f"#reads: {c['num_reads']}", file=err)
     print(f"#filter tiles: {c['num_filter_tiles']}", file=err)
