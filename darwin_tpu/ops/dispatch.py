@@ -15,6 +15,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from darwin_tpu.ops import gact
 
@@ -80,25 +81,142 @@ def gather_tiles(ref_codes, query_codes, r_start, r_size, q_start, q_size,
     return qtile, rtile
 
 
+def _pack_requests(r_start, r_size, q_start, q_size, rev=None):
+    """Stack the per-tile request vectors into ONE (5, B) int64 host->device
+    transfer (the reference's BatchAlignmentInputFieldsDRAM batching,
+    software/Darwin.bond:131-135 — one message per batch, not one per
+    field).  Individual device_puts dominate round latency otherwise."""
+    rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
+            np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
+            np.zeros(len(np.asarray(r_start)), np.int64) if rev is None
+            else np.asarray(rev).astype(np.int64)]
+    return jnp.asarray(np.stack(rows))
+
+
+@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
+                                             "params_static"))
+def _extend_round_pallas(ref_codes, query_codes, req, params_static,
+                         qt, rt, max_tb):
+    """One fused device program per extension round: tile gather + Pallas
+    DP + sweep traceback + result packing.  Returns (RTpad + 5, Bpad) int32:
+    rows [0, RTpad) the traceback records, then q_steps, r_steps, score,
+    qpos, rpos."""
+    from darwin_tpu.ops import gact_pallas
+    r_start, r_size = req[0], req[1].astype(jnp.int32)
+    q_start, q_size = req[2], req[3].astype(jnp.int32)
+    rev = req[4] != 0
+    qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
+                                q_start, q_size, rev, qt, rt)
+    se = jnp.ones(r_start.shape, bool)
+    res = gact_pallas._dp_call(qtile, rtile, q_size, r_size, se,
+                               params_static, True, True, False)
+    rec, qsteps, rsteps = gact_pallas._tb_call(
+        res["trace"], q_size - 1, r_size - 1, max_tb, False)
+    Bp = rec.shape[1]
+
+    def row(x):
+        return jnp.pad(x.astype(jnp.int32), (0, Bp - x.shape[0]))[None, :]
+
+    # int16 halves the per-round device->host transfer; every row fits
+    # (records are 14+2 bits, steps <= 2*max_tb <= 2*1984, |score| and
+    # positions < 2*tile for any supported tile geometry)
+    return jnp.concatenate(
+        [rec, qsteps[None, :], rsteps[None, :], row(res["score"]),
+         row(res["query_max_pos"]), row(res["ref_max_pos"])],
+        axis=0).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("qt", "rt", "params_static"))
+def _first_tiles_pallas(ref_codes, query_codes, req, params_static, qt, rt):
+    """One fused device program for the filter stage: gather + max-cell DP,
+    results packed as (3, B) int32 (score, query_max_pos, ref_max_pos)."""
+    from darwin_tpu.ops import gact_pallas
+    r_start, r_size = req[0], req[1].astype(jnp.int32)
+    q_start, q_size = req[2], req[3].astype(jnp.int32)
+    rev = req[4] != 0
+    qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
+                                q_start, q_size, rev, qt, rt)
+    res = gact_pallas._dp_call(qtile, rtile, q_size, r_size,
+                               jnp.zeros(r_start.shape, bool),
+                               params_static, False, False, False)
+    return jnp.stack([res["score"], res["query_max_pos"],
+                      res["ref_max_pos"]]).astype(jnp.int32)
+
+
 def first_tile_scores(ref_codes, query_codes, r_start, r_size, q_start,
                       q_size, params, qt: int, rt: int):
     """Filter-stage dispatch: max-cell scores + positions, no traceback
     (software/filter.cpp:40,71: do_traceback=0, align_fields max-mode)."""
+    if use_pallas():
+        from darwin_tpu.ops import gact_pallas
+        req = _pack_requests(r_start, r_size, q_start, q_size)
+        packed = np.asarray(_first_tiles_pallas(
+            ref_codes, query_codes, req,
+            gact_pallas._static_params(params), qt, rt))
+        return {"score": packed[0], "query_max_pos": packed[1],
+                "ref_max_pos": packed[2]}
     B = r_start.shape[0]
     rev = jnp.zeros((B,), bool)
-    qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
-                                q_start, q_size, rev, qt, rt)
-    return _batch_align_scores(qtile, rtile, q_size.astype(jnp.int32),
-                               r_size.astype(jnp.int32),
+    qtile, rtile = gather_tiles(ref_codes, query_codes,
+                                jnp.asarray(np.asarray(r_start)),
+                                jnp.asarray(np.asarray(r_size)),
+                                jnp.asarray(np.asarray(q_start)),
+                                jnp.asarray(np.asarray(q_size)), rev, qt, rt)
+    return _batch_align_scores(qtile, rtile,
+                               jnp.asarray(np.asarray(q_size, np.int32)),
+                               jnp.asarray(np.asarray(r_size, np.int32)),
                                jnp.zeros((B,), bool), params)
+
+
+def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
+                       q_size, rev, params, qt: int, rt: int, max_tb: int):
+    """Extension-stage dispatch, split into enqueue + resolve.
+
+    Returns a zero-arg ``resolve()`` producing the result dict.  The device
+    program is enqueued immediately; the (blocking) device->host fetch only
+    happens inside resolve, so a caller with several tile-shape groups per
+    round can enqueue them all and overlap each group's fetch/decode with
+    the others' compute (the TPU analog of the reference keeping
+    batch_size slots in flight, software/extender.cpp:45-533).
+
+    On the Pallas path one host->device transfer carries the whole request
+    batch and one device->host transfer returns the packed traceback
+    records + stats; everything in between is a single compiled program.
+    """
+    B = int(np.asarray(r_start).shape[0])
+    if use_pallas():
+        from darwin_tpu.ops import gact_pallas
+        req = _pack_requests(r_start, r_size, q_start, q_size, rev)
+        packed_dev = _extend_round_pallas(
+            ref_codes, query_codes, req,
+            gact_pallas._static_params(params), qt, rt, max_tb)
+
+        def resolve():
+            packed = np.asarray(packed_dev)
+            rec, tail = packed[:-5], packed[-5:]
+            L = min(qt + rec.shape[0], 2 * max_tb)
+            ops, n_ops = gact_pallas._expand_records(rec, B, L)
+            return {"ops": ops, "n_ops": n_ops,
+                    "q_steps": tail[0][:B], "r_steps": tail[1][:B],
+                    "score": tail[2][:B], "query_max_pos": tail[3][:B],
+                    "ref_max_pos": tail[4][:B]}
+        return resolve
+    qtile, rtile = gather_tiles(ref_codes, query_codes,
+                                jnp.asarray(np.asarray(r_start)),
+                                jnp.asarray(np.asarray(r_size)),
+                                jnp.asarray(np.asarray(q_start)),
+                                jnp.asarray(np.asarray(q_size)),
+                                jnp.asarray(np.asarray(rev)), qt, rt)
+    res = _align_and_traceback(
+        qtile, rtile, jnp.asarray(np.asarray(q_size, np.int32)),
+        jnp.asarray(np.asarray(r_size, np.int32)),
+        jnp.ones((B,), bool), params, max_tb, all_start_end=True)
+    return lambda: res
 
 
 def extend_tiles(ref_codes, query_codes, r_start, r_size, q_start, q_size,
                  rev, params, qt: int, rt: int, max_tb: int):
-    """Extension-stage dispatch: start_end DP + traceback in one program."""
-    B = r_start.shape[0]
-    qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
-                                q_start, q_size, rev, qt, rt)
-    return _align_and_traceback(
-        qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
-        jnp.ones((B,), bool), params, max_tb, all_start_end=True)
+    """Synchronous extension-stage dispatch (see extend_tiles_async)."""
+    return extend_tiles_async(ref_codes, query_codes, r_start, r_size,
+                              q_start, q_size, rev, params, qt=qt, rt=rt,
+                              max_tb=max_tb)()

@@ -246,9 +246,12 @@ def _round_up(x, m):
 # j fixed) and then one closing M or D op (or terminates); the kernel emits
 # one int32 record per (column, lane):
 #
-#     bits 0..15  nI       number of I ops emitted in this column
-#     bits 16..17 closing  0 = walk ended here (or never visited),
+#     bits 0..13  nI       number of I ops emitted in this column
+#     bits 14..15 closing  0 = walk ended here (or never visited),
 #                          OP_M / OP_D otherwise
+#
+# (14+2 bits so a record survives an int16 device->host transfer — the
+# packed result matrix is the per-round fetch and bytes are the cost)
 #
 # expanded on the host (vectorized np.repeat) into the exact op sequence of
 # the serial walker — same state machine, same caps (Processor.cpp:585-716).
@@ -328,7 +331,7 @@ def _tb_kernel(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref, rsteps_ref,
         zeros = jnp.zeros((1, LANES), jnp.int32)
         st, i, qs, rs, nI, closing, _ = jax.lax.while_loop(
             cond, body, (st, i, qs, rs, zeros, zeros, zeros))
-        rec_ref[c:c + 1] = nI + (closing << 16)
+        rec_ref[c:c + 1] = nI + (closing << 14)
 
     st_ref[:] = st
     i_ref[:] = i
@@ -394,8 +397,9 @@ def _expand_records(rec: np.ndarray, n_valid: int, L: int):
     rec: (RT, B) int32.  Returns ops (n_valid, L) uint8 + n_ops (n_valid,).
     """
     RT, B = rec.shape
-    nI = (rec[:, :n_valid] & 0xFFFF).astype(np.int64)     # (RT, n_valid)
-    closing = (rec[:, :n_valid] >> 16) & 0x3
+    w = rec[:, :n_valid].astype(np.int64) & 0xFFFF        # (RT, n_valid)
+    nI = w & 0x3FFF
+    closing = (w >> 14) & 0x3
     # walk order per lane: columns start_r, start_r-1, ..., 0 -> reorder
     # rows by descending column index.  Columns above start_r and columns
     # after the walk terminated hold all-zero records (the kernel only

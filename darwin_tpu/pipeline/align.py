@@ -110,8 +110,7 @@ class Aligner:
         else:
             res = first_tile_scores(
                 self._ref_codes_dev(), jnp.asarray(encode5(qbuf)),
-                jnp.asarray(rs), jnp.asarray(rsz), jnp.asarray(qs),
-                jnp.asarray(qsz), self.params, qt=T, rt=T)
+                rs, rsz, qs, qsz, self.params, qt=T, rt=T)
         scores = np.asarray(res["score"])[:n]
         rmax = np.asarray(res["ref_max_pos"])[:n]
         qmax = np.asarray(res["query_max_pos"])[:n]

@@ -39,7 +39,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from darwin_tpu.ops import oracle as orc
-from darwin_tpu.ops.dispatch import extend_tiles
+from darwin_tpu.ops.dispatch import extend_tiles, extend_tiles_async
 from darwin_tpu.pipeline.filter import ExtendLocation
 
 
@@ -468,6 +468,10 @@ class ExtensionManager:
                 r = exts[ei].request(cfg, counters)
                 reqs.setdefault(r[5], []).append((ei, r))
             finished = []
+            # phase 1: enqueue every tile-shape group's device program
+            # (async) so each group's fetch/decode overlaps the others'
+            # compute; phase 2: resolve + decode in order.
+            rounds = []
             for (rt, qt), items in reqs.items():
                 B = len(items)
                 bp = max(8, 1 << (B - 1).bit_length())
@@ -489,12 +493,15 @@ class ExtensionManager:
                         refc, self.q_codes_dev, r_start, r_size, q_start,
                         q_size, rev, self.params,
                         qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
+                    rounds.append((items, lambda res=res: res))
                 else:
-                    res = extend_tiles(
-                        refc, self.q_codes_dev, jnp.asarray(r_start),
-                        jnp.asarray(r_size), jnp.asarray(q_start),
-                        jnp.asarray(q_size), jnp.asarray(rev), self.params,
+                    resolve = extend_tiles_async(
+                        refc, self.q_codes_dev, r_start, r_size, q_start,
+                        q_size, rev, self.params,
                         qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
+                    rounds.append((items, resolve))
+            for items, resolve in rounds:
+                res = resolve()
                 ops_h = np.asarray(res["ops"])
                 n_h = np.asarray(res["n_ops"])
                 for b, (ei, _) in enumerate(items):
