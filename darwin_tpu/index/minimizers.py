@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def hash32(key, k: int):
@@ -96,3 +97,152 @@ def minimizer_scan(codes2, lengths, k: int, w: int):
     valid = (p_idx >= w - 1) & (p_idx < (r16 - k)[:, None])
     emit = valid & (((p_idx - anchor) % w) == 0)
     return m, emit
+
+
+# ---------------------------------------------------------------------------
+# fixed-shape chunked genome scan
+# ---------------------------------------------------------------------------
+#
+# minimizer_scan compiles per (B, L); scanning each chromosome at its own
+# length would recompile per chromosome (a ~30s XLA compile each on big
+# programs).  The genome scan instead cuts every chromosome into CHUNK-base
+# pieces with a (w+1)-base left halo (so every in-chunk window minimum and
+# its predecessor are complete) and processes fixed (CROWS, CHUNK + w + 1 +
+# k - 1)-shaped batches — one compiled program for any genome.  The
+# emission automaton's anchor (a prefix max over change positions) is
+# carried across chunks: within a batch by a tiny segmented scan over rows,
+# across batches (and reset at chromosome starts) by the host.
+
+CHUNK = 1 << 18          # bases of new positions per row
+CROWS = 8                # rows per device call
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _chunk_scan(rows, off, istart, iend, nvalid, carry_in, first,
+                k: int, w: int):
+    """One batch of sequential chromosome chunks.
+
+    rows   : (B, CL) uint8 2-bit codes; row b covers global code positions
+             [off[b], off[b] + CL).
+    off    : (B,) int32 global position of rows[b, 0].
+    istart : (B,) int32 first interior (non-halo) global position.
+    nvalid : (B,) int32 global end of the valid minimizer range for the
+             row's chromosome (= round16(length) - k, positions >= this
+             never emit and never feed the carry).
+    carry_in: (B,) int32 anchor carried into each row from the previous
+             batch (only meaningful for rows the segmented scan treats as
+             segment starts).
+    first  : (B,) int32 1 if this row starts a new chromosome (resets the
+             in-batch carry chain).
+
+    Returns (m, emit, carry_out): per-row minima/emission over the row's
+    positions, and the inclusive anchor carry after each row.
+    """
+    B, CL = rows.shape
+    h = kmer_hashes(rows, k)                        # (B, PL)
+    PL = CL - k + 1
+    big = jnp.uint32(0xFFFFFFFF)
+    m = h
+    for d in range(1, w):
+        shifted = jnp.concatenate(
+            [jnp.full((B, d), big, jnp.uint32), h[:, :PL - d]], axis=1)
+        m = jnp.minimum(m, shifted)
+
+    prow = jnp.arange(PL, dtype=jnp.int32)[None, :]
+    pg = off[:, None] + prow                        # global position
+    m_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint32), m[:, :-1]], axis=1)
+    # windows are complete for prow >= w-1; m_prev additionally needs
+    # prow >= w except at the true sequence start (pg == w-1, where the
+    # automaton compares against the initial last_m = 0)
+    at_init = pg == w - 1
+    window_ok = (prow >= w) | (at_init & (prow >= w - 1))
+    change = window_ok & (pg < nvalid[:, None]) & (
+        m != jnp.where(at_init, jnp.uint32(0), m_prev))
+    anchor_local = jax.lax.cummax(jnp.where(change, pg, 0), axis=1)
+
+    # per-row carry contribution: only changes in the row's OWN interior
+    # [istart, iend) — the tail overlap beyond iend belongs to (and is
+    # recomputed in) the next row's halo, and feeding it into the carry
+    # would hand later rows anchors from their own future
+    row_change_max = jnp.max(
+        jnp.where(change & (pg < iend[:, None]), pg, 0), axis=1)  # (B,)
+
+    # segmented exclusive scan over the B sequential rows
+    def seg(carry, x):
+        rcm, cin, fst = x
+        incoming = jnp.where(fst == 1, cin, carry)
+        return jnp.maximum(incoming, rcm), incoming
+
+    _, excl = jax.lax.scan(seg, jnp.int32(0),
+                           (row_change_max, carry_in, first))
+    anchor = jnp.maximum(anchor_local, excl[:, None])
+    carry_out = jnp.maximum(row_change_max, excl)
+
+    interior = (pg >= istart[:, None]) & (pg >= w - 1) & (
+        pg < iend[:, None])
+    emit = interior & (((pg - anchor) % w) == 0)
+    return m, emit, carry_out
+
+
+def scan_chromosome_minimizers(codes2: "np.ndarray", length_unpadded: int,
+                               k: int, w: int):
+    """Fixed-shape minimizer scan of one chromosome's (padded) 2-bit codes.
+
+    Yields (positions, hashes) numpy arrays (chromosome-local positions).
+    Identical emissions to minimizer_scan(codes2[None], [length_unpadded])
+    — covered by tests — but compiles exactly one (CROWS, CL) program no
+    matter the genome.
+    """
+    halo = w + 1
+    CL = CHUNK + halo + k - 1
+    CL = ((CL + 15) // 16) * 16
+    r16 = ((length_unpadded + 15) // 16) * 16
+    nvalid = r16 - k
+    L = len(codes2)
+
+    starts = list(range(0, max(nvalid, 1), CHUNK))
+    rows_np = np.zeros((CROWS, CL), np.uint8)
+    off = np.zeros(CROWS, np.int32)
+    istart = np.zeros(CROWS, np.int32)
+    iend = np.zeros(CROWS, np.int32)
+    nv = np.zeros(CROWS, np.int32)
+    first = np.zeros(CROWS, np.int32)
+    carry = np.zeros(CROWS, np.int32)
+
+    out_pos = []
+    out_hash = []
+    carry_val = 0
+    for base in range(0, len(starts), CROWS):
+        batch = starts[base:base + CROWS]
+        rows_np[:] = 0
+        nv[:] = 0          # empty rows: nvalid 0 -> nothing emits
+        iend[:] = 0
+        first[:] = 0
+        for i, s in enumerate(batch):
+            o = max(s - halo, 0)
+            seg_ = codes2[o:o + CL]
+            rows_np[i, :len(seg_)] = seg_
+            rows_np[i, len(seg_):] = 0
+            off[i] = o
+            istart[i] = s
+            iend[i] = min(s + CHUNK, nvalid)
+            nv[i] = nvalid
+        carry[:] = 0
+        carry[0] = carry_val
+        first[0] = 1      # row 0 of each batch takes the cross-batch carry
+        m, emit, carry_out = _chunk_scan(
+            jnp.asarray(rows_np), jnp.asarray(off), jnp.asarray(istart),
+            jnp.asarray(iend), jnp.asarray(nv), jnp.asarray(carry),
+            jnp.asarray(first), k, w)
+        m = np.asarray(m)
+        emit = np.asarray(emit)
+        carry_val = int(np.asarray(carry_out)[len(batch) - 1])
+        for i in range(len(batch)):
+            pr = np.nonzero(emit[i])[0]
+            out_pos.append(pr + off[i])
+            out_hash.append(m[i][pr])
+    if out_pos:
+        return (np.concatenate(out_pos).astype(np.int64),
+                np.concatenate(out_hash).astype(np.uint32))
+    return np.zeros(0, np.int64), np.zeros(0, np.uint32)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from darwin_tpu.genome import GenomeStore
-from darwin_tpu.index.minimizers import minimizer_scan
+from darwin_tpu.index.minimizers import (minimizer_scan,
+                                         scan_chromosome_minimizers)
 
 
 @dataclasses.dataclass
@@ -86,13 +87,11 @@ def build_seed_table(store: GenomeStore, cfg) -> SeedTable:
     all_pos = []
     for chrom in store.chromosomes:
         c2 = codes2[chrom.start:chrom.start + chrom.length]
-        m, emit = minimizer_scan(
-            jnp.asarray(c2[None, :]),
-            jnp.asarray([chrom.length_unpadded], jnp.int32), k, w)
-        m = np.asarray(m[0])
-        emit = np.asarray(emit[0])
-        p = np.nonzero(emit)[0]
-        all_hashes.append(m[p])
+        # fixed-shape chunked scan: one compiled program regardless of
+        # chromosome count/lengths (human-scale genomes would otherwise
+        # pay one large XLA compile per distinct chromosome length)
+        p, h = scan_chromosome_minimizers(c2, chrom.length_unpadded, k, w)
+        all_hashes.append(h)
         all_pos.append((p + chrom.start).astype(np.uint32))
     hashes = np.concatenate(all_hashes) if all_hashes else np.zeros(0, np.uint32)
     pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)

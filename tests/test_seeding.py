@@ -113,3 +113,30 @@ def test_dsoft_matches_reference(rng, overlap):
                 assert got_a.anchor_score == want_a["score"]
                 assert got_a.left_chained.tolist() == want_a["left"]
                 assert got_a.right_chained.tolist() == want_a["right"]
+
+
+def test_chunked_genome_scan_matches_single_shot(rng):
+    """scan_chromosome_minimizers (fixed-shape chunked, carried anchor)
+    must emit exactly the same (position, hash) pairs as the one-shot
+    minimizer_scan, including across chunk boundaries."""
+    import jax.numpy as jnp
+    from darwin_tpu.index import minimizers as mz
+
+    k, w = 12, 5
+    old_chunk, old_rows = mz.CHUNK, mz.CROWS
+    mz.CHUNK, mz.CROWS = 1 << 10, 3   # force many chunks + many batches
+    try:
+        for L in (700, 5000, 9973):
+            codes2 = rng.integers(0, 4, size=((L + 127) // 128) * 128
+                                  ).astype(np.uint8)
+            codes2[L:] = 0
+            m, emit = mz.minimizer_scan(
+                jnp.asarray(codes2[None, :]),
+                jnp.asarray([L], np.int32), k, w)
+            ref_p = np.nonzero(np.asarray(emit[0]))[0]
+            ref_h = np.asarray(m[0])[ref_p]
+            got_p, got_h = mz.scan_chromosome_minimizers(codes2, L, k, w)
+            np.testing.assert_array_equal(got_p, ref_p, err_msg=f"L={L}")
+            np.testing.assert_array_equal(got_h, ref_h, err_msg=f"L={L}")
+    finally:
+        mz.CHUNK, mz.CROWS = old_chunk, old_rows
