@@ -81,6 +81,17 @@ def gather_tiles(ref_codes, query_codes, r_start, r_size, q_start, q_size,
     return qtile, rtile
 
 
+def pad_batch(b: int) -> int:
+    """Host-side batch padding for one dispatch.  On the Pallas path the
+    kernel computes full 128-lane blocks regardless, so intermediate
+    power-of-two sizes would only multiply compiled variants (each (B, qt,
+    rt) is its own program) without saving any device work; pad straight
+    to lane-block multiples.  The lax path keeps small powers of two."""
+    if use_pallas():
+        return max(128, -(-b // 128) * 128)
+    return max(8, 1 << (b - 1).bit_length())
+
+
 def _pack_requests(r_start, r_size, q_start, q_size, rev=None):
     """Stack the per-tile request vectors into ONE (5, B) int64 host->device
     transfer (the reference's BatchAlignmentInputFieldsDRAM batching,

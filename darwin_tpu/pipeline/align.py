@@ -23,6 +23,7 @@ from darwin_tpu.index.seed_table import SeedTable, build_seed_table
 from darwin_tpu.io.fasta import load_genome, load_reads
 from darwin_tpu.ops import gact
 from darwin_tpu.ops.dispatch import first_tile_scores
+from darwin_tpu.ops.dispatch import pad_batch as _pad_batch
 from darwin_tpu.pipeline import filter as flt
 from darwin_tpu.pipeline import printer
 from darwin_tpu.pipeline.extend import ExtensionManager
@@ -91,7 +92,7 @@ class Aligner:
             q_start[i] += offs[read_num]
 
         T = cfg.first_tile_size
-        bp = max(8, 1 << (n - 1).bit_length())
+        bp = _pad_batch(n)
         if self.mesh_dispatch:
             bp = self.mesh_dispatch.pad(bp)
         rs = np.zeros(bp, np.int64)

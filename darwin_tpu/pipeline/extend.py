@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from darwin_tpu.ops import oracle as orc
 from darwin_tpu.ops.dispatch import extend_tiles, extend_tiles_async
+from darwin_tpu.ops.dispatch import pad_batch as _pad_batch
 from darwin_tpu.pipeline.filter import ExtendLocation
 
 
@@ -474,7 +475,7 @@ class ExtensionManager:
             rounds = []
             for (rt, qt), items in reqs.items():
                 B = len(items)
-                bp = max(8, 1 << (B - 1).bit_length())
+                bp = _pad_batch(B)
                 if self.mesh:
                     bp = self.mesh.pad(bp)
                 r_start = np.zeros(bp, np.int64)
