@@ -44,12 +44,21 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
         reader = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
         name = None
         chunks: list[bytes] = []
-        fastq_state = 0  # 0: not fastq; 1: in seq; 2: skip plus/qual
+        fastq_state = 0  # 0: not fastq; 1: in seq; 2: in quality
+        qual_left = 0
         for raw in reader:
             line = raw.rstrip(b"\r\n")
             if not line:
                 continue
             lead = line[:1]
+            if fastq_state == 2:
+                # quality lines are counted against the sequence length —
+                # they may legally start with '@' or '+', so leading
+                # characters mean nothing here (kseq does the same)
+                qual_left -= len(line)
+                if qual_left <= 0:
+                    fastq_state = 0
+                continue
             if lead == b">" or lead == b"@":
                 if name is not None:
                     yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
@@ -57,16 +66,17 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
                 chunks = []
                 fastq_state = 1 if lead == b"@" else 0
             elif lead == b"+" and fastq_state == 1:
-                # FASTQ separator: emit record, then skip quality lines until
-                # the next '@' header.
+                # FASTQ separator: emit record, then consume exactly
+                # len(seq) quality bytes
+                seq = b"".join(chunks)
                 if name is not None:
-                    yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
+                    yield name, np.frombuffer(seq, dtype=np.uint8)
                 name = None
                 chunks = []
-                fastq_state = 2
+                qual_left = len(seq)
+                fastq_state = 2 if qual_left else 0
             else:
-                if fastq_state != 2:
-                    chunks.append(line)
+                chunks.append(line)
         if name is not None:
             yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
 

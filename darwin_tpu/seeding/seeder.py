@@ -48,7 +48,9 @@ class Seeder:
             return SeedResult([], [], 0)
         max_len = max(r.length for r in reads)
         lcap = _round_up_pow2(((max_len + 15) // 16) * 16)
-        B = 2 * len(reads)
+        # pad the row count too: a ragged final read batch would otherwise
+        # compile its own (B, lcap) program variant
+        B = _round_up_pow2(2 * len(reads), 8)
         codes2 = np.zeros((B, lcap), np.uint8)
         lengths = np.zeros(B, np.int32)
         for i, r in enumerate(reads):

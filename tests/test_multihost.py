@@ -91,3 +91,18 @@ def test_pipelined_run_identical(tmp_path, sample_inputs):
     tail0 = [l for l in outs[0][1].splitlines() if l.startswith("#")]
     tail1 = [l for l in outs[1][1].splitlines() if l.startswith("#")]
     assert tail0 == tail1 and len(tail0) == 7
+
+
+def test_fastq_quality_lines_starting_with_at(tmp_path):
+    """FASTQ quality strings may begin with '@' or '+'; the parser must
+    count quality bytes instead of sniffing leading characters."""
+    from darwin_tpu.io.fasta import iter_fasta
+    fq = tmp_path / "r.fq"
+    fq.write_bytes(
+        b"@r1 desc\nACGTACGT\n+\n@IIIIIII\n"      # qual starts with '@'
+        b"@r2\nACGT\nACGT\n+r2\n+@II\nIIII\n"     # multi-line seq + qual
+        b"@r3\nGGGG\n+\nIIII\n")
+    recs = [(n, bytes(s)) for n, s in iter_fasta(str(fq))]
+    assert recs == [("r1", b"ACGTACGT"),
+                    ("r2", b"ACGTACGT"),
+                    ("r3", b"GGGG")]
