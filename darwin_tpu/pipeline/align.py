@@ -162,7 +162,7 @@ class Aligner:
 
 def run(ref_path: str, reads_path: str, do_overlap: bool,
         cfg: Config | None = None, out=None, err=None,
-        reads_per_batch: int = 16, index_cache: str | None = None,
+        reads_per_batch: int = 32, index_cache: str | None = None,
         pipeline_depth: int = 2) -> None:
     """pipeline_depth: read batches in flight (the TPU analog of the
     reference's token-throttled TBB flow graph, software/main.cpp:607-624);

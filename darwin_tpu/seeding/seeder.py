@@ -61,7 +61,7 @@ class Seeder:
         pcap = lcap - cfg.seed_size + 1
         mq_cap = mq_cap_for(pcap, cfg.num_seeds, cfg.max_stride,
                             cfg.do_overlap)
-        res = dsoft_device(
+        res_dev = dsoft_device(
             jnp.asarray(codes2), jnp.asarray(lengths),
             self.table.sorted_hashes, self.table.positions,
             k=cfg.seed_size, w=cfg.minimizer_window,
@@ -69,7 +69,27 @@ class Seeder:
             overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
             bin_size=cfg.bin_size, max_occ=self.max_occ,
             mq_cap=mq_cap, a_cap=min(self.a_cap, mq_cap * self.max_occ))
-        res = {k: np.asarray(v) for k, v in res.items()}
+        # the hit/anchor buffers are padded to their worst case (mq_cap *
+        # max_occ slots), but real rows use a tiny prefix — fetch the
+        # counts first, then only power-of-two-rounded used columns
+        # (hundreds of KB instead of ~75 MB per batch)
+        counts = np.asarray(jnp.stack(
+            [res_dev["n_hits"], res_dev["n_anchors"],
+             res_dev["n_anchors_raw"], res_dev["n_queried_buckets"]]))
+        res = {"n_hits": counts[0], "n_anchors": counts[1],
+               "n_anchors_raw": counts[2], "n_queried_buckets": counts[3]}
+        mh = _round_up_pow2(max(int(counts[0].max()), 1), 512)
+        mh = min(mh, res_dev["hits_bin"].shape[1])
+        ma = _round_up_pow2(max(int(counts[1].max()), 1), 256)
+        ma = min(ma, res_dev["anc_bin"].shape[1])
+        ph = np.asarray(jnp.stack([res_dev["hits_bin"][:, :mh],
+                                   res_dev["hits_off"][:, :mh],
+                                   res_dev["hits_pos"][:, :mh]]))
+        pa = np.asarray(jnp.stack([res_dev["anc_pos"][:, :ma],
+                                   res_dev["anc_off"][:, :ma],
+                                   res_dev["anc_bin"][:, :ma]]))
+        res["hits_bin"], res["hits_off"], res["hits_pos"] = ph
+        res["anc_pos"], res["anc_off"], res["anc_bin"] = pa
 
         if (res["n_anchors_raw"] > self.a_cap).any():
             raise RuntimeError(
