@@ -44,28 +44,11 @@ def mq_cap_for(pcap: int, num_seeds: int, max_stride: int,
     return min(pcap, base + (max(pcap - base, 0) + max_stride - 1) // max_stride)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "w", "num_seeds", "max_stride", "overlap",
-                     "threshold", "bin_size", "max_occ", "mq_cap", "a_cap"))
-def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
-                 k, w, num_seeds, max_stride, overlap, threshold,
-                 bin_size, max_occ, mq_cap, a_cap):
-    """Batched D-SOFT hit generation + anchor selection.
-
-    codes2 : (B, Lcap) uint8 2-bit query codes (row-padded with 0)
-    lengths: (B,) int32
-    sorted_hashes/positions: the SeedTable arrays.
-
-    Returns dict of device arrays:
-      hits_bin/hits_off/hits_pos : (B, H) int32 sorted hits (invalid tail
-                                   has bin == I32MAX)
-      n_hits                     : (B,) int32
-      anc_pos/anc_off/anc_bin    : (B, a_cap) int32 anchors in bin order
-      n_anchors                  : (B,) int32
-      n_queried_buckets          : (B,) int32 (the reference's num_seeds stat)
-    """
-    B, Lcap = codes2.shape
+def _queried_minimizers(codes2, lengths, k, w, num_seeds, max_stride,
+                        overlap, mq_cap):
+    """Minimizer scan + the stride schedule + compaction: returns
+    (offs, qhash, slot_ok) of shape (B, mq_cap)."""
+    B, _ = codes2.shape
     m, emit = minimizer_scan(codes2, lengths, k, w)
     P = m.shape[1]
 
@@ -84,11 +67,22 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
     offs = skey[:, :mq_cap]                       # query offsets (positions)
     qhash = sm[:, :mq_cap].astype(jnp.uint32)
     slot_ok = offs < I32MAX
+    return offs, qhash, slot_ok
 
-    start = jnp.searchsorted(sorted_hashes, qhash, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_hashes, qhash, side="right").astype(jnp.int32)
+
+def _bucket_hits(sorted_hashes, positions, offs, qhash, cnt_global,
+                 slot_ok, max_occ, bin_size):
+    """Gather hits for the queried buckets from one (possibly hash-range
+    sharded) slice of the seed table.  cnt_global is the occupancy over the
+    WHOLE table (equals the local count when unsharded).  Returns flattened
+    (bins, offsets, positions, ok) of shape (B, mq_cap*max_occ)."""
+    B, mq = offs.shape
+    start = jnp.searchsorted(sorted_hashes, qhash,
+                             side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_hashes, qhash,
+                           side="right").astype(jnp.int32)
     cnt = end - start
-    bucket_ok = slot_ok & (cnt <= max_occ)
+    bucket_ok = slot_ok & (cnt_global <= max_occ)
 
     n = positions.shape[0]
     t = jnp.arange(max_occ, dtype=jnp.int32)
@@ -99,12 +93,20 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
               & (pos >= offs[:, :, None]))
     bins = jnp.where(hit_ok, (pos - offs[:, :, None]) // bin_size, I32MAX)
 
-    H = mq_cap * max_occ
+    H = mq * max_occ
     binf = bins.reshape(B, H)
     offf = jnp.broadcast_to(offs[:, :, None], bins.shape).reshape(B, H)
     posf = pos.reshape(B, H)
     okf = hit_ok.reshape(B, H).astype(jnp.int32)
+    return binf, offf, posf, okf, bucket_ok
 
+
+def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
+               a_cap):
+    """Sort hits, run the per-bin unique-base count, compact anchors.
+    Pure function of the (unordered-by-bin) hit buffers — shared by the
+    replicated and hash-sharded paths."""
+    B, H = binf.shape
     # stable sort by (bin, offset); equal pairs keep insertion order
     # (minimizer ordinal, bucket slot) like std::stable_sort on the packed
     # key (software/seed_pos_table.cpp:337,42-45)
@@ -140,5 +142,40 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
         "anc_bin": abin[:, :a_cap],
         "n_anchors": jnp.minimum(n_anchors, a_cap),
         "n_anchors_raw": n_anchors,
-        "n_queried_buckets": jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
+        "n_queried_buckets": n_queried_buckets,
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "num_seeds", "max_stride", "overlap",
+                     "threshold", "bin_size", "max_occ", "mq_cap", "a_cap"))
+def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
+                 k, w, num_seeds, max_stride, overlap, threshold,
+                 bin_size, max_occ, mq_cap, a_cap):
+    """Batched D-SOFT hit generation + anchor selection.
+
+    codes2 : (B, Lcap) uint8 2-bit query codes (row-padded with 0)
+    lengths: (B,) int32
+    sorted_hashes/positions: the SeedTable arrays.
+
+    Returns dict of device arrays:
+      hits_bin/hits_off/hits_pos : (B, H) int32 sorted hits (invalid tail
+                                   has bin == I32MAX)
+      n_hits                     : (B,) int32
+      anc_pos/anc_off/anc_bin    : (B, a_cap) int32 anchors in bin order
+      n_anchors                  : (B,) int32
+      n_queried_buckets          : (B,) int32 (the reference's num_seeds stat)
+    """
+    offs, qhash, slot_ok = _queried_minimizers(
+        codes2, lengths, k, w, num_seeds, max_stride, overlap, mq_cap)
+    start = jnp.searchsorted(sorted_hashes, qhash,
+                             side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_hashes, qhash,
+                           side="right").astype(jnp.int32)
+    binf, offf, posf, okf, bucket_ok = _bucket_hits(
+        sorted_hashes, positions, offs, qhash, end - start, slot_ok,
+        max_occ, bin_size)
+    return _hits_post(binf, offf, posf, okf,
+                      jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
+                      k, threshold, a_cap)
