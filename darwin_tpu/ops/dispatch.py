@@ -18,6 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from darwin_tpu.ops import gact
+from darwin_tpu.ops.oracle import OP_M as _OPM, OP_I as _OPI, OP_D as _OPD
+
+orc_OP_M = int(_OPM)
+orc_OP_I = int(_OPI)
+orc_OP_D = int(_OPD)
 
 
 @functools.cache
@@ -135,6 +140,196 @@ def _extend_round_pallas(ref_codes, query_codes, req, params_static,
         [rec, qsteps[None, :], rsteps[None, :], row(res["score"]),
          row(res["query_max_pos"]), row(res["ref_max_pos"])],
         axis=0).astype(jnp.int16)
+
+
+def _device_consumed(rec, r_size, q_size, stop_thr, max_ops):
+    """Per-lane (dr, dq) advance a tile's traceback produces under the
+    extender's early-cutoff rule (extender.cpp:327-329, see
+    pipeline/extend.py::_Ext._applied_ops): ops are taken per 32-op word;
+    once the running step count reaches stop_thr, each word is consumed
+    only up to (and including) its first M.
+
+    rec: (RT, B) int32 traceback records (14-bit nI + 2-bit closing) in
+    column order.  The walk visits columns start_r=r_size-1 down to 0;
+    rows above start_r are all-zero.  Used ONLY for speculation — the host
+    validates the resulting tile request, so this must be fast, not
+    load-bearing.
+    """
+    RT, B = rec.shape
+    nI = rec & 0x3FFF
+    closing = (rec >> 14) & 0x3
+    nI = nI[::-1]                      # walk order (descending column)
+    closing = closing[::-1]
+    has_close = (closing != 0).astype(jnp.int32)
+    cnt = nI + has_close
+    ends = jnp.cumsum(cnt, axis=0)     # inclusive
+    starts = ends - cnt
+    n_ops = ends[-1]                   # (B,)
+
+    L = -(-max_ops // 32) * 32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RT, B), 1)
+    close_pos = jnp.where(has_close == 1, starts + nI, L)  # L = dropped
+    ops = jnp.full((L, B), orc_OP_I, jnp.int32)
+    ops = ops.at[close_pos, lane].set(closing, mode="drop")
+    opidx = jax.lax.broadcasted_iota(jnp.int32, (L, B), 0)
+    ops = jnp.where(opidx < n_ops[None, :], ops, 0)
+
+    blocks = ops.reshape(L // 32, 32, B)
+    bidx = jnp.arange(1, 33, dtype=jnp.int32)[None, :, None]  # 1-based
+    t32 = jnp.arange(0, L, 32, dtype=jnp.int32)
+
+    def blk_step(carry, xs):
+        blk, t0 = xs
+        count, dr, dq = carry
+        # `count` is the APPLIED step count (truncated blocks shrink it,
+        # extender.cpp:331 count semantics); the block's valid length is
+        # governed by its ORIGINAL offset t0 in the op stream
+        steps = count[None, None, :] + bidx               # (1, 32, B)
+        cond = (steps >= stop_thr) & (blk[None] == orc_OP_M)
+        first = jnp.min(jnp.where(cond[0], bidx[0], 33), axis=0)  # (B,)
+        trunc = jnp.where(first <= 32, first, 32)
+        valid_len = jnp.clip(n_ops - t0, 0, 32)
+        consumed = jnp.minimum(trunc, valid_len)
+        take = bidx[0] <= consumed[None, :]
+        dr = dr + jnp.sum(jnp.where(take & (blk != orc_OP_I), 1, 0), axis=0)
+        dq = dq + jnp.sum(jnp.where(take & (blk != orc_OP_D), 1, 0), axis=0)
+        return (count + consumed, dr, dq), None
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    (cnt_fin, dr, dq), _ = jax.lax.scan(blk_step, (zeros, zeros, zeros),
+                                        (blocks, t32))
+    return dr, dq
+
+
+@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
+                                             "params_static", "stop_thr"))
+def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
+                              qt, rt, max_tb, stop_thr):
+    """Two chained extension tiles per dispatch.  Tile 1 is exact; its
+    cutoff advance (dr, dq) predicts tile 2's request, which is computed
+    speculatively in the same program.  The packed int16 result carries
+    both record matrices, tile 1's stats, the advance, and tile 2's
+    request as deltas vs tile 1's — the host accepts tile 2 only when the
+    reconstructed request equals the true one after its exact decode.
+
+    Rows: [rec1 (RTp) | rec2 (RTp) | q_steps1 r_steps1 score1 qpos1 rpos1 |
+           dr dq | d_rstart d_rsize d_qstart d_qsize]
+    """
+    from darwin_tpu.ops import gact_pallas
+    r_start, r_size = req[0], req[1].astype(jnp.int32)
+    q_start, q_size = req[2], req[3].astype(jnp.int32)
+    rev = req[4] != 0
+    chrom_start, chrom_len = req[5], req[6].astype(jnp.int64)
+    q_buf_start, q_len = req[7], req[8].astype(jnp.int32)
+
+    qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
+                                q_start, q_size, rev, qt, rt)
+    se = jnp.ones(r_start.shape, bool)
+    res1 = gact_pallas._dp_call(qtile, rtile, q_size, r_size, se,
+                                params_static, True, True, False)
+    rec1, qsteps1, rsteps1 = gact_pallas._tb_call(
+        res1["trace"], q_size - 1, r_size - 1, max_tb, False)
+    B0 = r_start.shape[0]
+    dr, dq = _device_consumed(rec1[:, :B0].astype(jnp.int32), r_size,
+                              q_size, stop_thr, qt + rt)
+
+    # ---- tile 2 geometry (mirrors _Ext.request / decode clamps) ----
+    TT = jnp.int32(qt)                     # speculation is (qt, rt) = (T, T)
+    curr_ref = jnp.where(rev,
+                         (r_start - chrom_start).astype(jnp.int32),
+                         (r_start - chrom_start).astype(jnp.int32)
+                         + r_size - 1)
+    curr_q = jnp.where(rev,
+                       (q_start - q_buf_start).astype(jnp.int32),
+                       (q_start - q_buf_start).astype(jnp.int32)
+                       + q_size - 1)
+    cl32 = chrom_len.astype(jnp.int32)
+    curr_ref2 = jnp.where(rev, jnp.minimum(curr_ref + dr, cl32),
+                          jnp.maximum(curr_ref - dr, 0))
+    curr_q2 = jnp.where(rev, jnp.minimum(curr_q + dq, q_len),
+                        jnp.maximum(curr_q - dq, 0))
+    # left: window ending at curr2; right: window starting at curr2
+    r_size2 = jnp.where(rev, jnp.minimum(cl32 - curr_ref2, TT),
+                        jnp.minimum(curr_ref2 + 1, TT))
+    q_size2 = jnp.where(rev, jnp.minimum(q_len - curr_q2, TT),
+                        jnp.minimum(curr_q2 + 1, TT))
+    r_rel2 = jnp.where(rev, curr_ref2,
+                       jnp.where(curr_ref2 >= TT, curr_ref2 - TT + 1, 0))
+    q_rel2 = jnp.where(rev, curr_q2,
+                       jnp.where(curr_q2 >= TT, curr_q2 - TT + 1, 0))
+    r_start2 = chrom_start + r_rel2.astype(jnp.int64)
+    q_start2 = q_buf_start + q_rel2.astype(jnp.int64)
+    r_size2 = jnp.maximum(r_size2, 1)
+    q_size2 = jnp.maximum(q_size2, 1)
+
+    qtile2, rtile2 = gather_tiles(ref_codes, query_codes, r_start2,
+                                  r_size2, q_start2, q_size2, rev, qt, rt)
+    res2 = gact_pallas._dp_call(qtile2, rtile2, q_size2, r_size2, se,
+                                params_static, True, True, False)
+    rec2, _, _ = gact_pallas._tb_call(
+        res2["trace"], q_size2 - 1, r_size2 - 1, max_tb, False)
+
+    Bp = rec1.shape[1]
+
+    def row(x):
+        return jnp.pad(x.astype(jnp.int32), (0, Bp - x.shape[0]))[None, :]
+
+    return jnp.concatenate(
+        [rec1, rec2, qsteps1[None, :], rsteps1[None, :], row(res1["score"]),
+         row(res1["query_max_pos"]), row(res1["ref_max_pos"]),
+         row(dr), row(dq),
+         row((r_start2 - r_start).astype(jnp.int32)), row(r_size2),
+         row((q_start2 - q_start).astype(jnp.int32)), row(q_size2)],
+        axis=0).astype(jnp.int16)
+
+
+def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
+                            q_start, q_size, rev, chrom_start, chrom_len,
+                            q_buf_start, q_len, params, qt: int, rt: int,
+                            max_tb: int, stop_thr: int):
+    """Speculative two-tile extension dispatch (standard square tiles
+    only).  resolve() returns the usual tile-1 dict plus:
+      ops2/n_ops2      : tile 2's expanded traceback
+      spec_req         : (r_start2, r_size2, q_start2, q_size2) int64 —
+                         the request tile 2 was actually computed under
+    """
+    B = int(np.asarray(r_start).shape[0])
+    from darwin_tpu.ops import gact_pallas
+    rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
+            np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
+            np.asarray(rev).astype(np.int64),
+            np.asarray(chrom_start, np.int64),
+            np.asarray(chrom_len, np.int64),
+            np.asarray(q_buf_start, np.int64),
+            np.asarray(q_len, np.int64)]
+    req = jnp.asarray(np.stack(rows))
+    packed_dev = _extend_round_spec_pallas(
+        ref_codes, query_codes, req, gact_pallas._static_params(params),
+        qt, rt, max_tb, stop_thr)
+    r_start64 = rows[0]
+    q_start64 = rows[2]
+
+    def resolve():
+        packed = np.asarray(packed_dev)
+        RTp = (packed.shape[0] - 11) // 2
+        rec1 = packed[:RTp]
+        rec2 = packed[RTp:2 * RTp]
+        tail = packed[2 * RTp:]
+        L = min(qt + RTp, 2 * max_tb)
+        ops1, n1 = gact_pallas._expand_records(rec1, B, L)
+        ops2, n2 = gact_pallas._expand_records(rec2, B, L)
+        u = lambda r: r.astype(np.int64) & 0xFFFF  # unsigned row view
+        spec_req = (r_start64 + tail[7][:B].astype(np.int64),
+                    u(tail[8])[:B],
+                    q_start64 + tail[9][:B].astype(np.int64),
+                    u(tail[10])[:B])
+        return {"ops": ops1, "n_ops": n1,
+                "q_steps": tail[0][:B], "r_steps": tail[1][:B],
+                "score": tail[2][:B], "query_max_pos": tail[3][:B],
+                "ref_max_pos": tail[4][:B],
+                "ops2": ops2, "n_ops2": n2, "spec_req": spec_req,
+                "spec_dr": u(tail[5])[:B], "spec_dq": u(tail[6])[:B]}
+    return resolve
 
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "params_static"))

@@ -39,7 +39,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from darwin_tpu.ops import oracle as orc
-from darwin_tpu.ops.dispatch import extend_tiles, extend_tiles_async
+from darwin_tpu.ops.dispatch import (extend_tiles, extend_tiles_async,
+                                     extend_tiles_spec_async, use_pallas)
 from darwin_tpu.ops.dispatch import pad_batch as _pad_batch
 from darwin_tpu.pipeline.filter import ExtendLocation
 
@@ -416,6 +417,8 @@ class ExtensionManager:
             [store.bases,
              np.full(4 * cfg.large_tile_long, ord("N"), np.uint8)])
         self.ref_codes_dev = None  # set lazily
+        self.spec_hits = 0         # accepted speculative second tiles
+        self.spec_misses = 0
         # per-(read,strand) padded ASCII + device code buffer
         margin = 4 * cfg.tile_size
         bufs, offsets = [], {}
@@ -462,11 +465,18 @@ class ExtensionManager:
         pending = pending[max_lanes:]
         refc = self._ref_dev()
 
+        import os
+        T = cfg.tile_size
+        spec_ok = (use_pallas() and not self.mesh
+                   and not os.environ.get("DARWIN_TPU_NO_SPEC"))
+        cached_req = {}    # ei -> request computed during failed speculation
         while live:
             # group live extensions by tile shape
             reqs = {}
             for ei in live:
-                r = exts[ei].request(cfg, counters)
+                r = cached_req.pop(ei, None)
+                if r is None:
+                    r = exts[ei].request(cfg, counters)
                 reqs.setdefault(r[5], []).append((ei, r))
             finished = []
             # phase 1: enqueue every tile-shape group's device program
@@ -483,28 +493,49 @@ class ExtensionManager:
                 q_start = np.zeros(bp, np.int64)
                 q_size = np.ones(bp, np.int32)
                 rev = np.zeros(bp, bool)
+                cstart = np.zeros(bp, np.int64)
+                clen = np.ones(bp, np.int64)
+                qbuf0 = np.zeros(bp, np.int64)
+                qlen = np.ones(bp, np.int64)
                 for b, (ei, (rs, rsz, qs, qsz, rv, _)) in enumerate(items):
+                    e = exts[ei]
                     r_start[b] = rs
                     r_size[b] = rsz
-                    q_start[b] = exts[ei].q_code_start + qs
+                    q_start[b] = e.q_code_start + qs
                     q_size[b] = qsz
                     rev[b] = rv
+                    cstart[b] = e.ref_start_addr
+                    clen[b] = e.ref_len
+                    qbuf0[b] = e.q_code_start
+                    qlen[b] = e.q_len
                 if self.mesh:
                     res = self.mesh.extend_tiles(
                         refc, self.q_codes_dev, r_start, r_size, q_start,
                         q_size, rev, self.params,
                         qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
-                    rounds.append((items, lambda res=res: res))
+                    rounds.append((items, lambda res=res: res, rev))
+                elif spec_ok and (rt, qt) == (T, T):
+                    # speculative second tile chained on device; accepted
+                    # below only when the device-computed request equals
+                    # the true one (bit-exactness never depends on the
+                    # device's advance prediction)
+                    resolve = extend_tiles_spec_async(
+                        refc, self.q_codes_dev, r_start, r_size, q_start,
+                        q_size, rev, cstart, clen, qbuf0, qlen,
+                        self.params, qt=qt, rt=rt, max_tb=2 * T,
+                        stop_thr=min(rt, qt) - cfg.tile_overlap)
+                    rounds.append((items, resolve, rev))
                 else:
                     resolve = extend_tiles_async(
                         refc, self.q_codes_dev, r_start, r_size, q_start,
                         q_size, rev, self.params,
                         qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
-                    rounds.append((items, resolve))
-            for items, resolve in rounds:
+                    rounds.append((items, resolve, rev))
+            for items, resolve, rev in rounds:
                 res = resolve()
                 ops_h = np.asarray(res["ops"])
                 n_h = np.asarray(res["n_ops"])
+                spec = "ops2" in res
                 for b, (ei, _) in enumerate(items):
                     e = exts[ei]
                     ops = ops_h[b, :n_h[b]]
@@ -514,6 +545,30 @@ class ExtensionManager:
                         None)
                     if done:
                         finished.append(ei)
+                        continue
+                    if not spec:
+                        continue
+                    # validate the speculated tile-2 request against the
+                    # true one after the exact decode
+                    rs2, rsz2, qs2, qsz2, rv2, shape2 = e.request(cfg,
+                                                                  counters)
+                    sr = res["spec_req"]
+                    if (shape2 == (T, T) and rv2 == rev[b]
+                            and rs2 == int(sr[0][b])
+                            and rsz2 == int(sr[1][b])
+                            and e.q_code_start + qs2 == int(sr[2][b])
+                            and qsz2 == int(sr[3][b])):
+                        self.spec_hits += 1
+                        ops2 = np.asarray(res["ops2"])[b, :res["n_ops2"][b]]
+                        done = e.decode(
+                            ops2, self.bases,
+                            self.q_bytes[(e.read_num, e.strand)], cfg,
+                            counters, None)
+                        if done:
+                            finished.append(ei)
+                    else:
+                        self.spec_misses += 1
+                        cached_req[ei] = (rs2, rsz2, qs2, qsz2, rv2, shape2)
             for ei in finished:
                 live.remove(ei)
                 if pending:
