@@ -201,19 +201,25 @@ def _device_consumed(rec, r_size, q_size, stop_thr, max_ops):
     return dr, dq
 
 
-@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
-                                             "params_static", "stop_thr"))
-def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
-                              qt, rt, max_tb, stop_thr):
-    """Two chained extension tiles per dispatch.  Tile 1 is exact; its
-    cutoff advance (dr, dq) predicts tile 2's request, which is computed
-    speculatively in the same program.  The packed int16 result carries
-    both record matrices, tile 1's stats, the advance, and tile 2's
-    request as deltas vs tile 1's — the host accepts tile 2 only when the
-    reconstructed request equals the true one after its exact decode.
+SPEC_K = int(os.environ.get("DARWIN_TPU_SPEC_K", "4"))
 
-    Rows: [rec1 (RTp) | rec2 (RTp) | q_steps1 r_steps1 score1 qpos1 rpos1 |
-           dr dq | d_rstart d_rsize d_qstart d_qsize]
+
+@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
+                                             "params_static", "stop_thr",
+                                             "K"))
+def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
+                              qt, rt, max_tb, stop_thr, K):
+    """K chained extension tiles per dispatch.  Tile 1 is exact; each
+    subsequent tile's request is predicted from the previous tile's
+    cutoff advance (dr, dq) and computed speculatively in the same
+    program.  The packed int16 result carries all K record matrices,
+    tile 1's stats, and each speculative request as deltas vs its
+    predecessor's — the host walks the chain, accepting tile j+1 only
+    while the reconstructed request equals the true one after tile j's
+    exact decode.
+
+    Rows: [rec_1..rec_K (K*RTp) | q_steps1 r_steps1 score1 qpos1 rpos1 |
+           (d_rstart d_rsize d_qstart d_qsize) * (K-1)]
     """
     from darwin_tpu.ops import gact_pallas
     r_start, r_size = req[0], req[1].astype(jnp.int32)
@@ -221,20 +227,29 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
     rev = req[4] != 0
     chrom_start, chrom_len = req[5], req[6].astype(jnp.int64)
     q_buf_start, q_len = req[7], req[8].astype(jnp.int32)
-
-    qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
-                                q_start, q_size, rev, qt, rt)
     se = jnp.ones(r_start.shape, bool)
-    res1 = gact_pallas._dp_call(qtile, rtile, q_size, r_size, se,
-                                params_static, True, True, False)
-    rec1, qsteps1, rsteps1 = gact_pallas._tb_call(
-        res1["trace"], q_size - 1, r_size - 1, max_tb, False)
     B0 = r_start.shape[0]
-    dr, dq = _device_consumed(rec1[:, :B0].astype(jnp.int32), r_size,
-                              q_size, stop_thr, qt + rt)
-
-    # ---- tile 2 geometry (mirrors _Ext.request / decode clamps) ----
     TT = jnp.int32(qt)                     # speculation is (qt, rt) = (T, T)
+    cl32 = chrom_len.astype(jnp.int32)
+
+    def one_tile(rs, rsz, qs, qsz):
+        qtile, rtile = gather_tiles(ref_codes, query_codes, rs, rsz,
+                                    qs, qsz, rev, qt, rt)
+        res = gact_pallas._dp_call(qtile, rtile, qsz, rsz, se,
+                                   params_static, True, True, False)
+        rec, qsteps, rsteps = gact_pallas._tb_call(
+            res["trace"], qsz - 1, rsz - 1, max_tb, False)
+        return res, rec, qsteps, rsteps
+
+    res1, rec1, qsteps1, rsteps1 = one_tile(r_start, r_size, q_start,
+                                            q_size)
+    Bp = rec1.shape[1]
+
+    def row(x):
+        return jnp.pad(x.astype(jnp.int32), (0, Bp - x.shape[0]))[None, :]
+
+    recs = [rec1]
+    delta_rows = []
     curr_ref = jnp.where(rev,
                          (r_start - chrom_start).astype(jnp.int32),
                          (r_start - chrom_start).astype(jnp.int32)
@@ -243,57 +258,53 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
                        (q_start - q_buf_start).astype(jnp.int32),
                        (q_start - q_buf_start).astype(jnp.int32)
                        + q_size - 1)
-    cl32 = chrom_len.astype(jnp.int32)
-    curr_ref2 = jnp.where(rev, jnp.minimum(curr_ref + dr, cl32),
-                          jnp.maximum(curr_ref - dr, 0))
-    curr_q2 = jnp.where(rev, jnp.minimum(curr_q + dq, q_len),
-                        jnp.maximum(curr_q - dq, 0))
-    # left: window ending at curr2; right: window starting at curr2
-    r_size2 = jnp.where(rev, jnp.minimum(cl32 - curr_ref2, TT),
-                        jnp.minimum(curr_ref2 + 1, TT))
-    q_size2 = jnp.where(rev, jnp.minimum(q_len - curr_q2, TT),
-                        jnp.minimum(curr_q2 + 1, TT))
-    r_rel2 = jnp.where(rev, curr_ref2,
-                       jnp.where(curr_ref2 >= TT, curr_ref2 - TT + 1, 0))
-    q_rel2 = jnp.where(rev, curr_q2,
-                       jnp.where(curr_q2 >= TT, curr_q2 - TT + 1, 0))
-    r_start2 = chrom_start + r_rel2.astype(jnp.int64)
-    q_start2 = q_buf_start + q_rel2.astype(jnp.int64)
-    r_size2 = jnp.maximum(r_size2, 1)
-    q_size2 = jnp.maximum(q_size2, 1)
-
-    qtile2, rtile2 = gather_tiles(ref_codes, query_codes, r_start2,
-                                  r_size2, q_start2, q_size2, rev, qt, rt)
-    res2 = gact_pallas._dp_call(qtile2, rtile2, q_size2, r_size2, se,
-                                params_static, True, True, False)
-    rec2, _, _ = gact_pallas._tb_call(
-        res2["trace"], q_size2 - 1, r_size2 - 1, max_tb, False)
-
-    Bp = rec1.shape[1]
-
-    def row(x):
-        return jnp.pad(x.astype(jnp.int32), (0, Bp - x.shape[0]))[None, :]
+    prev = (r_start, r_size, q_start, q_size, rec1)
+    for _lvl in range(K - 1):
+        p_rs, p_rsz, p_qs, p_qsz, p_rec = prev
+        dr, dq = _device_consumed(p_rec[:, :B0].astype(jnp.int32), p_rsz,
+                                  p_qsz, stop_thr, qt + rt)
+        # next-tile geometry (mirrors _Ext.request / decode clamps):
+        # left: window ending at curr; right: window starting at curr
+        curr_ref = jnp.where(rev, jnp.minimum(curr_ref + dr, cl32),
+                             jnp.maximum(curr_ref - dr, 0))
+        curr_q = jnp.where(rev, jnp.minimum(curr_q + dq, q_len),
+                           jnp.maximum(curr_q - dq, 0))
+        rsz2 = jnp.maximum(jnp.where(rev, jnp.minimum(cl32 - curr_ref, TT),
+                                     jnp.minimum(curr_ref + 1, TT)), 1)
+        qsz2 = jnp.maximum(jnp.where(rev, jnp.minimum(q_len - curr_q, TT),
+                                     jnp.minimum(curr_q + 1, TT)), 1)
+        r_rel2 = jnp.where(rev, curr_ref,
+                           jnp.where(curr_ref >= TT, curr_ref - TT + 1, 0))
+        q_rel2 = jnp.where(rev, curr_q,
+                           jnp.where(curr_q >= TT, curr_q - TT + 1, 0))
+        rs2 = chrom_start + r_rel2.astype(jnp.int64)
+        qs2 = q_buf_start.astype(jnp.int64) + q_rel2.astype(jnp.int64)
+        _, rec2, _, _ = one_tile(rs2, rsz2, qs2, qsz2)
+        recs.append(rec2)
+        delta_rows += [row((rs2 - p_rs).astype(jnp.int32)), row(rsz2),
+                       row((qs2 - p_qs).astype(jnp.int32)), row(qsz2)]
+        prev = (rs2, rsz2, qs2, qsz2, rec2)
 
     return jnp.concatenate(
-        [rec1, rec2, qsteps1[None, :], rsteps1[None, :], row(res1["score"]),
-         row(res1["query_max_pos"]), row(res1["ref_max_pos"]),
-         row(dr), row(dq),
-         row((r_start2 - r_start).astype(jnp.int32)), row(r_size2),
-         row((q_start2 - q_start).astype(jnp.int32)), row(q_size2)],
-        axis=0).astype(jnp.int16)
+        recs + [qsteps1[None, :], rsteps1[None, :], row(res1["score"]),
+                row(res1["query_max_pos"]), row(res1["ref_max_pos"])]
+        + delta_rows, axis=0).astype(jnp.int16)
 
 
 def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
                             q_start, q_size, rev, chrom_start, chrom_len,
                             q_buf_start, q_len, params, qt: int, rt: int,
                             max_tb: int, stop_thr: int):
-    """Speculative two-tile extension dispatch (standard square tiles
-    only).  resolve() returns the usual tile-1 dict plus:
-      ops2/n_ops2      : tile 2's expanded traceback
-      spec_req         : (r_start2, r_size2, q_start2, q_size2) int64 —
-                         the request tile 2 was actually computed under
+    """Speculative K-tile extension dispatch (standard square tiles
+    only).  resolve() returns the usual tile-1 dict plus, for each
+    speculative level j in 1..K-1:
+      ops_spec/n_ops_spec : lists of tile j's expanded traceback
+      spec_req            : list of (r_start, r_size, q_start, q_size)
+                            int64 tuples — the request each speculative
+                            tile was actually computed under
     """
     B = int(np.asarray(r_start).shape[0])
+    K = SPEC_K
     from darwin_tpu.ops import gact_pallas
     rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
             np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
@@ -305,30 +316,36 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
     req = jnp.asarray(np.stack(rows))
     packed_dev = _extend_round_spec_pallas(
         ref_codes, query_codes, req, gact_pallas._static_params(params),
-        qt, rt, max_tb, stop_thr)
+        qt, rt, max_tb, stop_thr, K)
     r_start64 = rows[0]
     q_start64 = rows[2]
 
     def resolve():
         packed = np.asarray(packed_dev)
-        RTp = (packed.shape[0] - 11) // 2
-        rec1 = packed[:RTp]
-        rec2 = packed[RTp:2 * RTp]
-        tail = packed[2 * RTp:]
+        nrows = packed.shape[0]
+        RTp = (nrows - 5 - 4 * (K - 1)) // K
         L = min(qt + RTp, 2 * max_tb)
-        ops1, n1 = gact_pallas._expand_records(rec1, B, L)
-        ops2, n2 = gact_pallas._expand_records(rec2, B, L)
+        ops1, n1 = gact_pallas._expand_records(packed[:RTp], B, L)
+        tail = packed[K * RTp:]
         u = lambda r: r.astype(np.int64) & 0xFFFF  # unsigned row view
-        spec_req = (r_start64 + tail[7][:B].astype(np.int64),
-                    u(tail[8])[:B],
-                    q_start64 + tail[9][:B].astype(np.int64),
-                    u(tail[10])[:B])
+        ops_spec, n_spec, spec_req = [], [], []
+        prev_rs, prev_qs = r_start64, q_start64
+        for j in range(1, K):
+            o, n = gact_pallas._expand_records(
+                packed[j * RTp:(j + 1) * RTp], B, L)
+            ops_spec.append(o)
+            n_spec.append(n)
+            d = tail[5 + 4 * (j - 1):5 + 4 * j]
+            rs = prev_rs + d[0][:B].astype(np.int64)
+            qs = prev_qs + d[2][:B].astype(np.int64)
+            spec_req.append((rs, u(d[1])[:B], qs, u(d[3])[:B]))
+            prev_rs, prev_qs = rs, qs
         return {"ops": ops1, "n_ops": n1,
                 "q_steps": tail[0][:B], "r_steps": tail[1][:B],
                 "score": tail[2][:B], "query_max_pos": tail[3][:B],
                 "ref_max_pos": tail[4][:B],
-                "ops2": ops2, "n_ops2": n2, "spec_req": spec_req,
-                "spec_dr": u(tail[5])[:B], "spec_dq": u(tail[6])[:B]}
+                "ops_spec": ops_spec, "n_ops_spec": n_spec,
+                "spec_req": spec_req}
     return resolve
 
 

@@ -535,7 +535,8 @@ class ExtensionManager:
                 res = resolve()
                 ops_h = np.asarray(res["ops"])
                 n_h = np.asarray(res["n_ops"])
-                spec = "ops2" in res
+                spec = "ops_spec" in res
+                n_levels = len(res["ops_spec"]) if spec else 0
                 for b, (ei, _) in enumerate(items):
                     e = exts[ei]
                     ops = ops_h[b, :n_h[b]]
@@ -546,29 +547,37 @@ class ExtensionManager:
                     if done:
                         finished.append(ei)
                         continue
-                    if not spec:
-                        continue
-                    # validate the speculated tile-2 request against the
-                    # true one after the exact decode
-                    rs2, rsz2, qs2, qsz2, rv2, shape2 = e.request(cfg,
-                                                                  counters)
-                    sr = res["spec_req"]
-                    if (shape2 == (T, T) and rv2 == rev[b]
-                            and rs2 == int(sr[0][b])
-                            and rsz2 == int(sr[1][b])
-                            and e.q_code_start + qs2 == int(sr[2][b])
-                            and qsz2 == int(sr[3][b])):
-                        self.spec_hits += 1
-                        ops2 = np.asarray(res["ops2"])[b, :res["n_ops2"][b]]
-                        done = e.decode(
-                            ops2, self.bases,
-                            self.q_bytes[(e.read_num, e.strand)], cfg,
-                            counters, None)
-                        if done:
-                            finished.append(ei)
+                    # walk the speculative chain: accept level j only while
+                    # the device's request equals the true one after the
+                    # exact decode of level j-1
+                    for j in range(n_levels):
+                        rs2, rsz2, qs2, qsz2, rv2, shape2 = e.request(
+                            cfg, counters)
+                        sr = res["spec_req"][j]
+                        if (shape2 == (T, T) and rv2 == rev[b]
+                                and rs2 == int(sr[0][b])
+                                and rsz2 == int(sr[1][b])
+                                and e.q_code_start + qs2 == int(sr[2][b])
+                                and qsz2 == int(sr[3][b])):
+                            self.spec_hits += 1
+                            opsj = res["ops_spec"][j][
+                                b, :res["n_ops_spec"][j][b]]
+                            done = e.decode(
+                                opsj, self.bases,
+                                self.q_bytes[(e.read_num, e.strand)], cfg,
+                                counters, None)
+                            if done:
+                                finished.append(ei)
+                                break
+                        else:
+                            self.spec_misses += 1
+                            cached_req[ei] = (rs2, rsz2, qs2, qsz2, rv2,
+                                              shape2)
+                            break
                     else:
-                        self.spec_misses += 1
-                        cached_req[ei] = (rs2, rsz2, qs2, qsz2, rv2, shape2)
+                        # all levels consumed without termination: next
+                        # round issues a fresh request
+                        pass
             for ei in finished:
                 live.remove(ei)
                 if pending:
