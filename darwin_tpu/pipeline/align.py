@@ -62,15 +62,24 @@ class Aligner:
             self.mesh_dispatch = None
 
     def _ref_codes_dev(self):
+        """Device genome codes (+ the extender's large-tile N margin so the
+        same buffer serves both the filter and extension gathers), uploaded
+        once per run."""
         if self._ref_codes is None:
-            codes = encode5(self.store.bases)
+            bases = np.concatenate(
+                [self.store.bases,
+                 np.full(4 * self.cfg.large_tile_long, ord("N"), np.uint8)])
+            codes = encode5(bases)
             self._ref_codes = (self.mesh_dispatch.put_replicated(codes)
                                if self.mesh_dispatch else jnp.asarray(codes))
         return self._ref_codes
 
-    def _filter_strand(self, reads, anchors_per_read, strand, counters):
+    def _filter_strand(self, reads, anchors_per_read, strand, counters,
+                       mgr):
         """Run first tiles for one strand; returns slope-filtered locations
-        (software/filter.cpp:8-228)."""
+        (software/filter.cpp:8-228).  Queries gather from the extension
+        manager's resident per-batch code buffer (one upload serves the
+        filter and every extension round)."""
         cfg = self.cfg
         batch = flt.build_first_tiles(reads, anchors_per_read,
                                       0 if strand == "+" else 1,
@@ -79,17 +88,9 @@ class Aligner:
         counters["num_filter_tiles"] += n
         if n == 0:
             return []
-        # strand-local query buffer for the whole batch
-        seqs = [(r.seq if strand == "+" else r.rc_seq) for r in reads]
-        offs = np.zeros(len(reads), np.int64)
-        pos = 0
-        for i, s in enumerate(seqs):
-            offs[i] = pos
-            pos += len(s)
-        qbuf = np.concatenate(seqs) if seqs else np.zeros(1, np.uint8)
         q_start = batch.q_start.copy()
         for i, (read_num, *_rest) in enumerate(batch.meta):
-            q_start[i] += offs[read_num]
+            q_start[i] += mgr.q_code_start[(read_num, strand)]
 
         T = cfg.first_tile_size
         bp = _pad_batch(n)
@@ -105,12 +106,11 @@ class Aligner:
         qsz[:n] = batch.q_size
         if self.mesh_dispatch:
             res = self.mesh_dispatch.first_tile_scores(
-                self._ref_codes_dev(),
-                self.mesh_dispatch.put_replicated(encode5(qbuf)),
+                self._ref_codes_dev(), mgr.q_codes_dev,
                 rs, rsz, qs, qsz, self.params, qt=T, rt=T)
         else:
             res = first_tile_scores(
-                self._ref_codes_dev(), jnp.asarray(encode5(qbuf)),
+                self._ref_codes_dev(), mgr.q_codes_dev,
                 rs, rsz, qs, qsz, self.params, qt=T, rt=T)
         scores = np.asarray(res["score"])[:n]
         rmax = np.asarray(res["ref_max_pos"])[:n]
@@ -132,11 +132,14 @@ class Aligner:
         if counters is None:
             counters = self.counters
         counters["num_reads"] += len(reads)
+        mgr = ExtensionManager(self.store, reads, cfg, self.params,
+                               mesh_dispatch=self.mesh_dispatch,
+                               ref_codes_dev=self._ref_codes_dev())
         seeded = self.seeder.seed_batch(reads)
         fw_locs = self._filter_strand(reads, seeded.fw_anchors, "+",
-                                      counters)
+                                      counters, mgr)
         rc_locs = self._filter_strand(reads, seeded.rc_anchors, "-",
-                                      counters)
+                                      counters, mgr)
 
         # group per read, per strand (fw then rc), preserving slope-filter
         # order within the group — the reference's effective one-read batches

@@ -408,7 +408,8 @@ def _round_up(x, m):
 class ExtensionManager:
     """Runs all extensions of a read batch through wide device dispatches."""
 
-    def __init__(self, store, reads, cfg, params, mesh_dispatch=None):
+    def __init__(self, store, reads, cfg, params, mesh_dispatch=None,
+                 ref_codes_dev=None):
         self.store = store
         self.cfg = cfg
         self.params = params
@@ -416,7 +417,9 @@ class ExtensionManager:
         self.bases = np.concatenate(
             [store.bases,
              np.full(4 * cfg.large_tile_long, ord("N"), np.uint8)])
-        self.ref_codes_dev = None  # set lazily
+        # device genome codes shared across batches (the caller caches the
+        # upload — one genome transfer per run, not one per read batch)
+        self.ref_codes_dev = ref_codes_dev
         self.spec_hits = 0         # accepted speculative second tiles
         self.spec_misses = 0
         # per-(read,strand) padded ASCII + device code buffer
