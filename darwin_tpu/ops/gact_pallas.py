@@ -155,24 +155,31 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
         h_up = _shift_down(h, 1, 0)
 
         if with_trace:
-            # 8-bit trace word; identical priority chain to gact.batch_align
+            # 8-bit trace word.  The T field is the layered blend chain of
+            # gact.batch_align restated as one nested select tree (same
+            # truth table, no boolean not/and ops):
+            #   is_d branch:  el > fl > diag/zero
+            #   else:         f > fl > el > del
             is_d = h == dag
             is_f = h == f
             is_fl = h == fl
             is_el = h == el
-            t = jnp.full((QT, LANES), gact.T8_DEL, jnp.int32)
-            t = jnp.where(is_d,
-                          jnp.where(h == 0, gact.T8_ZERO, gact.T8_DIAG), t)
-            t = jnp.where(is_fl, gact.T8_INS_L, t)
-            t = jnp.where(is_el, gact.T8_DEL_L, t)
-            t = jnp.where(~is_d & ~is_f & is_fl, gact.T8_INS_L, t)
-            t = jnp.where(~is_d & is_f, gact.T8_INS, t)
+            dz = jnp.where(h == 0, gact.T8_ZERO, gact.T8_DIAG)
+            td = jnp.where(is_el, gact.T8_DEL_L,
+                           jnp.where(is_fl, gact.T8_INS_L, dz))
+            tn = jnp.where(is_f, gact.T8_INS,
+                           jnp.where(is_fl, gact.T8_INS_L,
+                                     jnp.where(is_el, gact.T8_DEL_L,
+                                               gact.T8_DEL)))
+            t = jnp.where(is_d, td, tn)
 
-            f_up = _shift_down(f, 1, NEG16)
-            fl_up = _shift_down(fl, 1, NEG16)
-            fbits = jnp.where(h_up + go > f_up + ge, gact.F_OPEN8, 0)
-            flbits = jnp.where(h_up + goL > fl_up + geL, gact.FL_OPEN8, 0)
-            word = t + fbits + flbits + ebits
+            # F/F_L "open" bits of row q compare row q-1's values — compute
+            # the predicate unshifted and shift the combined bit field once
+            # (row 0's boundary is open for both: h_up=0, f_up=-inf).
+            raw = (jnp.where(h + go > f + ge, gact.F_OPEN8, 0)
+                   + jnp.where(h + goL > fl + geL, gact.FL_OPEN8, 0))
+            word = (t + ebits
+                    + _shift_down(raw, 1, gact.F_OPEN8 + gact.FL_OPEN8))
             trace_ref[c] = word.astype(jnp.uint8)
 
         e_open = h + go
