@@ -113,8 +113,12 @@ def minimizer_scan(codes2, lengths, k: int, w: int):
 # carried across chunks: within a batch by a tiny segmented scan over rows,
 # across batches (and reset at chromosome starts) by the host.
 
-CHUNK = 1 << 18          # bases of new positions per row
-CROWS = 8                # rows per device call
+CHUNK = 1 << 14          # bases of new positions per row
+CROWS = 128              # rows per device call
+# (CROWS*CHUNK = 2 Mbp per dispatch, same as the previous 8 x 256K rows for
+# whole-genome scans; the short rows let a read-set index build — overlap
+# mode — pack many short sequences into one dispatch instead of paying a
+# full-width dispatch per read.)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
@@ -185,6 +189,90 @@ def _chunk_scan(rows, off, istart, iend, nvalid, carry_in, first,
     return m, emit, carry_out
 
 
+def scan_many_minimizers(seqs, k: int, w: int):
+    """Fixed-shape minimizer scan of MANY sequences in shared batches.
+
+    seqs: list of (codes2, length_unpadded).  Returns a list of
+    (positions, hashes) numpy pairs, one per sequence (sequence-local
+    positions), each identical to minimizer_scan on that sequence alone.
+
+    One global work list of (sequence, chunk-start) rows is packed CROWS at
+    a time into the single compiled (CROWS, CL) program, so a read-set index
+    build (overlap mode: thousands of short "chromosomes",
+    software/README.md:25-27) costs ~total_bases/(CROWS*CHUNK) dispatches
+    instead of one dispatch per sequence.  The emission automaton's anchor
+    chains through rows exactly as before: ``first`` marks rows that do NOT
+    continue their predecessor row (a new sequence resets the anchor to 0; a
+    batch-leading row resumes its sequence's carried anchor).
+    """
+    halo = w + 1
+    CL = CHUNK + halo + k - 1
+    CL = ((CL + 15) // 16) * 16
+
+    nvalids = []
+    work = []                 # (seq_idx, chunk_start)
+    for si, (codes2, length_unpadded) in enumerate(seqs):
+        r16 = ((length_unpadded + 15) // 16) * 16
+        nvalid = r16 - k
+        nvalids.append(nvalid)
+        for s in range(0, max(nvalid, 1), CHUNK):
+            work.append((si, s))
+
+    rows_np = np.zeros((CROWS, CL), np.uint8)
+    off = np.zeros(CROWS, np.int32)
+    istart = np.zeros(CROWS, np.int32)
+    iend = np.zeros(CROWS, np.int32)
+    nv = np.zeros(CROWS, np.int32)
+    first = np.zeros(CROWS, np.int32)
+    carry = np.zeros(CROWS, np.int32)
+
+    out_pos = [[] for _ in seqs]
+    out_hash = [[] for _ in seqs]
+    carry_val = 0             # anchor of the sequence continuing into the
+    for base in range(0, len(work), CROWS):   # next batch (work is ordered)
+        batch = work[base:base + CROWS]
+        rows_np[:] = 0
+        nv[:] = 0          # empty rows: nvalid 0 -> nothing emits
+        iend[:] = 0
+        first[:] = 0
+        carry[:] = 0
+        for i, (si, s) in enumerate(batch):
+            codes2 = seqs[si][0]
+            o = max(s - halo, 0)
+            seg_ = codes2[o:o + CL]
+            rows_np[i, :len(seg_)] = seg_
+            rows_np[i, len(seg_):] = 0
+            off[i] = o
+            istart[i] = s
+            iend[i] = min(s + CHUNK, nvalids[si])
+            nv[i] = nvalids[si]
+            if s == 0:
+                first[i] = 1          # new sequence: anchor resets to 0
+            elif i == 0:
+                first[i] = 1          # batch start: resume carried anchor
+                carry[i] = carry_val
+        m, emit, carry_out = _chunk_scan(
+            jnp.asarray(rows_np), jnp.asarray(off), jnp.asarray(istart),
+            jnp.asarray(iend), jnp.asarray(nv), jnp.asarray(carry),
+            jnp.asarray(first), k, w)
+        m = np.asarray(m)
+        emit = np.asarray(emit)
+        carry_val = int(np.asarray(carry_out)[len(batch) - 1])
+        for i, (si, _s) in enumerate(batch):
+            pr = np.nonzero(emit[i])[0]
+            out_pos[si].append(pr + off[i])
+            out_hash[si].append(m[i][pr])
+
+    res = []
+    for si in range(len(seqs)):
+        if out_pos[si]:
+            res.append((np.concatenate(out_pos[si]).astype(np.int64),
+                        np.concatenate(out_hash[si]).astype(np.uint32)))
+        else:
+            res.append((np.zeros(0, np.int64), np.zeros(0, np.uint32)))
+    return res
+
+
 def scan_chromosome_minimizers(codes2: "np.ndarray", length_unpadded: int,
                                k: int, w: int):
     """Fixed-shape minimizer scan of one chromosome's (padded) 2-bit codes.
@@ -194,55 +282,4 @@ def scan_chromosome_minimizers(codes2: "np.ndarray", length_unpadded: int,
     — covered by tests — but compiles exactly one (CROWS, CL) program no
     matter the genome.
     """
-    halo = w + 1
-    CL = CHUNK + halo + k - 1
-    CL = ((CL + 15) // 16) * 16
-    r16 = ((length_unpadded + 15) // 16) * 16
-    nvalid = r16 - k
-    L = len(codes2)
-
-    starts = list(range(0, max(nvalid, 1), CHUNK))
-    rows_np = np.zeros((CROWS, CL), np.uint8)
-    off = np.zeros(CROWS, np.int32)
-    istart = np.zeros(CROWS, np.int32)
-    iend = np.zeros(CROWS, np.int32)
-    nv = np.zeros(CROWS, np.int32)
-    first = np.zeros(CROWS, np.int32)
-    carry = np.zeros(CROWS, np.int32)
-
-    out_pos = []
-    out_hash = []
-    carry_val = 0
-    for base in range(0, len(starts), CROWS):
-        batch = starts[base:base + CROWS]
-        rows_np[:] = 0
-        nv[:] = 0          # empty rows: nvalid 0 -> nothing emits
-        iend[:] = 0
-        first[:] = 0
-        for i, s in enumerate(batch):
-            o = max(s - halo, 0)
-            seg_ = codes2[o:o + CL]
-            rows_np[i, :len(seg_)] = seg_
-            rows_np[i, len(seg_):] = 0
-            off[i] = o
-            istart[i] = s
-            iend[i] = min(s + CHUNK, nvalid)
-            nv[i] = nvalid
-        carry[:] = 0
-        carry[0] = carry_val
-        first[0] = 1      # row 0 of each batch takes the cross-batch carry
-        m, emit, carry_out = _chunk_scan(
-            jnp.asarray(rows_np), jnp.asarray(off), jnp.asarray(istart),
-            jnp.asarray(iend), jnp.asarray(nv), jnp.asarray(carry),
-            jnp.asarray(first), k, w)
-        m = np.asarray(m)
-        emit = np.asarray(emit)
-        carry_val = int(np.asarray(carry_out)[len(batch) - 1])
-        for i in range(len(batch)):
-            pr = np.nonzero(emit[i])[0]
-            out_pos.append(pr + off[i])
-            out_hash.append(m[i][pr])
-    if out_pos:
-        return (np.concatenate(out_pos).astype(np.int64),
-                np.concatenate(out_hash).astype(np.uint32))
-    return np.zeros(0, np.int64), np.zeros(0, np.uint32)
+    return scan_many_minimizers([(codes2, length_unpadded)], k, w)[0]

@@ -24,7 +24,7 @@ import numpy as np
 
 from darwin_tpu.genome import GenomeStore
 from darwin_tpu.index.minimizers import (minimizer_scan,
-                                         scan_chromosome_minimizers)
+                                         scan_many_minimizers)
 
 
 @dataclasses.dataclass
@@ -85,12 +85,14 @@ def build_seed_table(store: GenomeStore, cfg) -> SeedTable:
     codes2 = store.codes2
     all_hashes = []
     all_pos = []
-    for chrom in store.chromosomes:
-        c2 = codes2[chrom.start:chrom.start + chrom.length]
-        # fixed-shape chunked scan: one compiled program regardless of
-        # chromosome count/lengths (human-scale genomes would otherwise
-        # pay one large XLA compile per distinct chromosome length)
-        p, h = scan_chromosome_minimizers(c2, chrom.length_unpadded, k, w)
+    # fixed-shape chunked scan over ALL chromosomes as one work list: one
+    # compiled program regardless of chromosome count/lengths, and short
+    # sequences (overlap mode indexes every read as a chromosome) share
+    # dispatches instead of paying one device call each
+    seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded)
+            for c in store.chromosomes]
+    scans = scan_many_minimizers(seqs, k, w)
+    for chrom, (p, h) in zip(store.chromosomes, scans):
         all_hashes.append(h)
         all_pos.append((p + chrom.start).astype(np.uint32))
     hashes = np.concatenate(all_hashes) if all_hashes else np.zeros(0, np.uint32)

@@ -140,3 +140,27 @@ def test_chunked_genome_scan_matches_single_shot(rng):
             np.testing.assert_array_equal(got_h, ref_h, err_msg=f"L={L}")
     finally:
         mz.CHUNK, mz.CROWS = old_chunk, old_rows
+
+
+def test_multi_sequence_scan_matches_per_sequence(rng):
+    """scan_many_minimizers packs many sequences' chunks into shared
+    batches (overlap mode indexes every read); each sequence's emissions
+    must equal its standalone scan — including sequences that span chunk
+    rows AND batch boundaries, and sequences shorter than one k-mer."""
+    from darwin_tpu.index import minimizers as mz
+
+    k, w = 14, 3
+    old_chunk, old_rows = mz.CHUNK, mz.CROWS
+    mz.CHUNK, mz.CROWS = 1 << 10, 5   # multi-chunk rows + cross-batch carry
+    try:
+        seqs = []
+        for L in (40, 1000, 5000, 17, 3000, 2048, 1, 9000):
+            c2 = rng.integers(0, 4, ((L + 15) // 16) * 16).astype(np.uint8)
+            seqs.append((c2, L))
+        many = mz.scan_many_minimizers(seqs, k, w)
+        for (c2, L), (p, h) in zip(seqs, many):
+            p1, h1 = mz.scan_many_minimizers([(c2, L)], k, w)[0]
+            np.testing.assert_array_equal(p, p1, err_msg=f"L={L}")
+            np.testing.assert_array_equal(h, h1, err_msg=f"L={L}")
+    finally:
+        mz.CHUNK, mz.CROWS = old_chunk, old_rows
