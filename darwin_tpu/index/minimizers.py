@@ -273,6 +273,112 @@ def scan_many_minimizers(seqs, k: int, w: int):
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _chunk_scan_pairs(rows, off, istart, iend, nvalid, carry_in, first,
+                      goff, k: int, w: int):
+    """_chunk_scan + in-place (hash, global position) pair emission.
+
+    Non-emitting slots are set to the 0xFFFFFFFF sentinel in BOTH outputs so
+    a later device sort pushes them past every real pair; nem counts real
+    pairs.  Nothing per-position ever leaves the device.
+    """
+    m, emit, carry_out = _chunk_scan(rows, off, istart, iend, nvalid,
+                                     carry_in, first, k, w)
+    B, PL = m.shape
+    prow = jnp.arange(PL, dtype=jnp.int32)[None, :]
+    pos = (goff[:, None] + off[:, None] + prow).astype(jnp.uint32)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hout = jnp.where(emit, m, sent).reshape(-1)
+    pout = jnp.where(emit, pos, sent).reshape(-1)
+    nem = jnp.sum(emit.astype(jnp.int32))
+    return hout, pout, carry_out, nem
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _sort_pairs(hcat, pcat):
+    return jax.lax.sort((hcat, pcat), num_keys=2)
+
+
+def scan_sorted_pairs_device(seqs, k: int, w: int):
+    """Device-resident seed-table build: minimizer scan + (hash, position)
+    sort without any per-position host round trip.
+
+    seqs: list of (codes2, length_unpadded, global_start).  Returns
+    (sorted_hashes, sorted_positions) device uint32 arrays, ascending by
+    (hash, position) — exactly the order of the host path's stable argsort
+    over (hash << 32 | pos) keys (keys are unique: positions are globally
+    disjoint).  The only transfers are the row uploads, one carry scalar per
+    batch, and one final count.
+
+    Transient HBM is ~8 bytes per scanned position (the sort holds every
+    candidate slot, emitted or not); callers gate on genome size and fall
+    back to the host path beyond it.
+    """
+    halo = w + 1
+    CL = CHUNK + halo + k - 1
+    CL = ((CL + 15) // 16) * 16
+
+    nvalids = []
+    work = []
+    for si, (codes2, length_unpadded, _g) in enumerate(seqs):
+        r16 = ((length_unpadded + 15) // 16) * 16
+        nvalid = r16 - k
+        nvalids.append(nvalid)
+        for s in range(0, max(nvalid, 1), CHUNK):
+            work.append((si, s))
+
+    rows_np = np.zeros((CROWS, CL), np.uint8)
+    off = np.zeros(CROWS, np.int32)
+    istart = np.zeros(CROWS, np.int32)
+    iend = np.zeros(CROWS, np.int32)
+    nv = np.zeros(CROWS, np.int32)
+    first = np.zeros(CROWS, np.int32)
+    carry = np.zeros(CROWS, np.int32)
+    goff = np.zeros(CROWS, np.int32)
+
+    hs, ps, nems = [], [], []
+    carry_val = 0
+    for base in range(0, len(work), CROWS):
+        batch = work[base:base + CROWS]
+        rows_np[:] = 0
+        nv[:] = 0
+        iend[:] = 0
+        first[:] = 0
+        carry[:] = 0
+        goff[:] = 0
+        for i, (si, s) in enumerate(batch):
+            codes2 = seqs[si][0]
+            o = max(s - halo, 0)
+            seg_ = codes2[o:o + CL]
+            rows_np[i, :len(seg_)] = seg_
+            rows_np[i, len(seg_):] = 0
+            off[i] = o
+            istart[i] = s
+            iend[i] = min(s + CHUNK, nvalids[si])
+            nv[i] = nvalids[si]
+            goff[i] = seqs[si][2]
+            if s == 0:
+                first[i] = 1
+            elif i == 0:
+                first[i] = 1
+                carry[i] = carry_val
+        h, p, carry_out, nem = _chunk_scan_pairs(
+            jnp.asarray(rows_np), jnp.asarray(off), jnp.asarray(istart),
+            jnp.asarray(iend), jnp.asarray(nv), jnp.asarray(carry),
+            jnp.asarray(first), jnp.asarray(goff), k, w)
+        hs.append(h)
+        ps.append(p)
+        nems.append(nem)
+        carry_val = int(np.asarray(carry_out)[len(batch) - 1])
+
+    if not hs:
+        z = jnp.zeros(0, jnp.uint32)
+        return z, z
+    sh, sp = _sort_pairs(jnp.concatenate(hs), jnp.concatenate(ps))
+    n = int(np.asarray(jnp.stack(nems)).sum())
+    return sh[:n], sp[:n]
+
+
 def scan_chromosome_minimizers(codes2: "np.ndarray", length_unpadded: int,
                                k: int, w: int):
     """Fixed-shape minimizer scan of one chromosome's (padded) 2-bit codes.

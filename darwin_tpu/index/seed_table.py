@@ -24,7 +24,13 @@ import numpy as np
 
 from darwin_tpu.genome import GenomeStore
 from darwin_tpu.index.minimizers import (minimizer_scan,
-                                         scan_many_minimizers)
+                                         scan_many_minimizers,
+                                         scan_sorted_pairs_device)
+
+# device-build gate: the on-device pair sort transiently holds ~8 bytes per
+# scanned position; past this, build on the host (sharded builds for
+# >HBM genomes route through parallel/shard_index anyway)
+DEVICE_BUILD_MAX_BASES = 512 << 20
 
 
 @dataclasses.dataclass
@@ -83,12 +89,31 @@ def build_seed_table(store: GenomeStore, cfg) -> SeedTable:
     k, w = cfg.seed_size, cfg.minimizer_window
     assert 3 < k <= 15, "reference constraint (software/main.cpp:310-311)"
     codes2 = store.codes2
-    all_hashes = []
-    all_pos = []
-    # fixed-shape chunked scan over ALL chromosomes as one work list: one
+    # Fixed-shape chunked scan over ALL chromosomes as one work list: one
     # compiled program regardless of chromosome count/lengths, and short
     # sequences (overlap mode indexes every read as a chromosome) share
-    # dispatches instead of paying one device call each
+    # dispatches instead of paying one device call each.
+    #
+    # Device path: scan, (hash, pos) pair emission and the final sort all
+    # stay on device — no per-position transfer or host argsort.  Its
+    # transient HBM is ~8 B per scanned position, so genomes past the gate
+    # (or hosts without an accelerator worth the upload) take the host path
+    # with identical output order (unique keys: stable argsort over
+    # (hash << 32 | pos) == lexicographic (hash, pos) sort).
+    if 0 < store.size <= DEVICE_BUILD_MAX_BASES:
+        seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded,
+                 c.start) for c in store.chromosomes]
+        sh, sp = scan_sorted_pairs_device(seqs, k, w)
+        return SeedTable(
+            sorted_hashes=sh,
+            positions=sp,
+            kmer_size=k,
+            minimizer_window=w,
+            ref_size=store.size,
+            kmer_max_occurence=cfg.kmer_max_occurence(store.size),
+        )
+    all_hashes = []
+    all_pos = []
     seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded)
             for c in store.chromosomes]
     scans = scan_many_minimizers(seqs, k, w)

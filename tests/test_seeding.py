@@ -164,3 +164,29 @@ def test_multi_sequence_scan_matches_per_sequence(rng):
             np.testing.assert_array_equal(h, h1, err_msg=f"L={L}")
     finally:
         mz.CHUNK, mz.CROWS = old_chunk, old_rows
+
+
+def test_device_table_build_matches_host(rng):
+    """The device-resident build (scan + pair emission + lax.sort, no host
+    argsort) must produce exactly the host path's table."""
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore
+    from darwin_tpu.index import seed_table as st
+
+    store = GenomeStore()
+    for i, L in enumerate((50000, 1234, 17, 9999, 300)):
+        seq = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, L)]
+        store.add_chromosome(f"c{i}", seq)
+    store.finalize()
+    cfg = Config()
+    t_dev = st.build_seed_table(store, cfg)
+    old = st.DEVICE_BUILD_MAX_BASES
+    st.DEVICE_BUILD_MAX_BASES = 0
+    try:
+        t_host = st.build_seed_table(store, cfg)
+    finally:
+        st.DEVICE_BUILD_MAX_BASES = old
+    np.testing.assert_array_equal(np.asarray(t_dev.sorted_hashes),
+                                  np.asarray(t_host.sorted_hashes))
+    np.testing.assert_array_equal(np.asarray(t_dev.positions),
+                                  np.asarray(t_host.positions))
