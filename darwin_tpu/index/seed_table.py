@@ -41,10 +41,42 @@ class SeedTable:
     minimizer_window: int
     ref_size: int                # full coordinate-space size (incl. guard)
     kmer_max_occurence: int
+    # Prefix LUT accelerating bucket range lookups: lut[p] = first table
+    # index whose hash has top-bit prefix >= p (size 2^bits + 1).  Queries
+    # then binary-search only inside their prefix range (lut_steps
+    # iterations instead of log2(N)); see dsoft._bucket_ranges.  Built
+    # lazily — absent on hash-range shards, which use plain searchsorted.
+    prefix_lut: jnp.ndarray | None = None
+    lut_shift: int = 0
+    lut_steps: int = 0
 
     @property
     def num_seeds(self) -> int:
         return int(self.sorted_hashes.shape[0])
+
+    def ensure_lut(self, bits: int = 22):
+        """Build the prefix LUT on device (idempotent, ~one searchsorted).
+
+        hash32 values are masked to 2k <= 30 bits, so hashes and prefix
+        bounds are safely compared as int32.
+        """
+        if self.prefix_lut is not None or self.num_seeds == 0:
+            return self
+        # scale the LUT to the table (a few entries per seed is plenty);
+        # 2^22+1 int32 = 16 MB caps the footprint for huge tables
+        bits = min(bits, 2 * self.kmer_size,
+                   max(8, int(np.ceil(np.log2(self.num_seeds + 1))) + 2))
+        self.lut_shift = 2 * self.kmer_size - bits
+        # lut[p] = first index with hash >= (p << shift); row 2^bits is the
+        # global upper bound
+        bound = jnp.arange((1 << bits) + 1,
+                           dtype=jnp.int32) << self.lut_shift
+        lut = jnp.searchsorted(self.sorted_hashes.astype(jnp.int32),
+                               bound, side="left").astype(jnp.int32)
+        max_range = int(jnp.max(lut[1:] - lut[:-1]))
+        self.prefix_lut = lut
+        self.lut_steps = max(int(np.ceil(np.log2(max_range + 1))), 1) + 1
+        return self
 
     def is_present(self, kmer_hash: int) -> bool:
         """Whether the bucket for this minimizer hash is usable: non-empty

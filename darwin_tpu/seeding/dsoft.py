@@ -59,13 +59,22 @@ def _queried_minimizers(codes2, lengths, k, w, num_seeds, max_stride,
         q_rule = q_rule | (((ordinal - (nq + 1)) % max_stride) == 0)
     queried = emit & q_rule
 
-    # compact queried minimizers (position order == ordinal order)
-    p_idx = jnp.arange(P, dtype=jnp.int32)[None, :].repeat(B, 0)
-    key = jnp.where(queried, p_idx, I32MAX)
-    skey, sm = jax.lax.sort((key, m.astype(jnp.int32)), num_keys=1,
-                            is_stable=True)
-    offs = skey[:, :mq_cap]                       # query offsets (positions)
-    qhash = sm[:, :mq_cap].astype(jnp.uint32)
+    # compact queried minimizers (position order == ordinal order) with a
+    # scatter to each minimizer's own output slot — targets are unique per
+    # row, so this replaces a P-wide stable sort with one linear pass
+    p_idx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # ordinal counts ALL emissions; queried ones are a prefix-plus-stride
+    # subset, so renumber queried minimizers densely first (mq_cap bounds
+    # the queried count by construction; the guard is belt-and-braces)
+    qord = jnp.cumsum(queried.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(queried & (qord < mq_cap), qord, mq_cap)
+    offs = jnp.full((B, mq_cap + 1), I32MAX, jnp.int32)
+    offs = offs.at[rows, tgt].min(jnp.broadcast_to(p_idx, (B, P)))
+    qhash = jnp.zeros((B, mq_cap + 1), jnp.uint32)
+    qhash = qhash.at[rows, tgt].max(m)
+    offs = offs[:, :mq_cap]
+    qhash = qhash[:, :mq_cap]
     slot_ok = offs < I32MAX
     return offs, qhash, slot_ok
 
@@ -99,6 +108,99 @@ def _bucket_hits(sorted_hashes, positions, offs, qhash, cnt_global,
     posf = pos.reshape(B, H)
     okf = hit_ok.reshape(B, H).astype(jnp.int32)
     return binf, offf, posf, okf, bucket_ok
+
+
+def _ranged_search(h, q, lo, hi, steps: int, side: str):
+    """Vectorized bisect of q into h restricted to [lo, hi) — the prefix
+    LUT bounds the range, so `steps` iterations (static, from the largest
+    prefix bucket) replace log2(N) full-table searchsorted steps."""
+    cur = lo
+    length = hi - lo
+    n = h.shape[0]
+    for _ in range(steps):
+        half = length >> 1
+        mid = jnp.clip(cur + half, 0, max(n - 1, 0))
+        hv = jnp.take(h, mid)
+        go = (hv < q) if side == "left" else (hv <= q)
+        go = go & (length > 0)
+        cur = jnp.where(go, cur + half + 1, cur)
+        length = jnp.where(go, length - half - 1, half)
+    return cur
+
+
+def _bucket_ranges(sorted_hashes, qhash, lut=None, lut_shift=0,
+                   lut_steps=0):
+    """(start, end) table ranges per queried hash; prefix-LUT accelerated
+    when a LUT is provided (SeedTable.ensure_lut), plain searchsorted
+    otherwise (hash-range shards)."""
+    if lut is None:
+        start = jnp.searchsorted(sorted_hashes, qhash,
+                                 side="left").astype(jnp.int32)
+        end = jnp.searchsorted(sorted_hashes, qhash,
+                               side="right").astype(jnp.int32)
+        return start, end
+    h32 = sorted_hashes.astype(jnp.int32)
+    q32 = qhash.astype(jnp.int32)
+    pre = (q32 >> lut_shift).astype(jnp.int32)
+    pre = jnp.clip(pre, 0, lut.shape[0] - 2)
+    lo = jnp.take(lut, pre)
+    hi = jnp.take(lut, pre + 1)
+    start = _ranged_search(h32, q32, lo, hi, lut_steps, "left")
+    end = _ranged_search(h32, q32, lo, hi, lut_steps, "right")
+    return start, end
+
+
+def _bucket_hits_flat(positions, offs, bucket_range, cnt_global,
+                      slot_ok, max_occ, bin_size, hit_cap):
+    """Ragged-flat variant of _bucket_hits: hits land in a compact
+    (B, hit_cap) buffer instead of (B, mq_cap*max_occ) padded slots.
+
+    Same hit multiset in the same insertion order — slot j of a row is the
+    j-th (bucket, in-bucket) pair over usable buckets in minimizer order,
+    exactly the padded layout with the empty slots squeezed out — so the
+    downstream stable sort produces an identical valid prefix.  The flat
+    buffer is typically ~100x smaller than the worst-case padded one (most
+    buckets hold a couple of positions, not kmer_max_occurence), which is
+    where the gather and sort time went.
+
+    The j -> bucket mapping is computed without a per-slot binary search:
+    scatter each non-empty bucket's ordinal at its exclusive-prefix start
+    slot, then a running max over slots.  Returns the extra ``total``
+    (B,) int32 — real slots needed; rows with total > hit_cap LOST hits and
+    the caller must retry with a bigger cap (the seeder does).
+    """
+    B, mq = offs.shape
+    start, end = bucket_range
+    cnt = end - start
+    bucket_ok = slot_ok & (cnt_global <= max_occ)
+
+    cnt_eff = jnp.where(bucket_ok, cnt, 0)
+    cum = jnp.cumsum(cnt_eff, axis=1)
+    sflat = cum - cnt_eff                       # start slot of each bucket
+    total = cum[:, -1]
+
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    bord = jnp.broadcast_to(jnp.arange(mq, dtype=jnp.int32)[None, :],
+                            (B, mq))
+    mark_col = jnp.where((cnt_eff > 0) & (sflat < hit_cap), sflat, hit_cap)
+    ticks = jnp.zeros((B, hit_cap + 1), jnp.int32)
+    ticks = ticks.at[rows, mark_col].max(bord + 1)
+    bidx = jax.lax.cummax(ticks[:, :hit_cap], axis=1) - 1
+
+    j = jnp.arange(hit_cap, dtype=jnp.int32)[None, :]
+    bsafe = jnp.clip(bidx, 0, mq - 1)
+    sf = jnp.take_along_axis(sflat, bsafe, 1)
+    st = jnp.take_along_axis(start, bsafe, 1)
+    of = jnp.take_along_axis(offs, bsafe, 1)
+    ok_slot = (bidx >= 0) & (j < total[:, None])
+
+    n = positions.shape[0]
+    gidx = jnp.clip(st + (j - sf), 0, max(n - 1, 0))
+    pos = jnp.take(positions, gidx).astype(jnp.int32)
+    hit_ok = ok_slot & (pos >= of)
+    binf = jnp.where(hit_ok, (pos - of) // bin_size, I32MAX)
+    okf = hit_ok.astype(jnp.int32)
+    return binf, of, pos, okf, bucket_ok, total
 
 
 def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
@@ -149,33 +251,42 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "num_seeds", "max_stride", "overlap",
-                     "threshold", "bin_size", "max_occ", "mq_cap", "a_cap"))
+                     "threshold", "bin_size", "max_occ", "mq_cap", "a_cap",
+                     "hit_cap", "lut_shift", "lut_steps"))
 def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
                  k, w, num_seeds, max_stride, overlap, threshold,
-                 bin_size, max_occ, mq_cap, a_cap):
+                 bin_size, max_occ, mq_cap, a_cap, hit_cap=None,
+                 lut=None, lut_shift=0, lut_steps=0):
     """Batched D-SOFT hit generation + anchor selection.
 
     codes2 : (B, Lcap) uint8 2-bit query codes (row-padded with 0)
     lengths: (B,) int32
     sorted_hashes/positions: the SeedTable arrays.
+    hit_cap: flat hit-buffer width (default: the lossless worst case
+             mq_cap*max_occ).  Rows needing more slots report it in
+             n_flat_raw; the caller must retry with a bigger cap.
 
     Returns dict of device arrays:
       hits_bin/hits_off/hits_pos : (B, H) int32 sorted hits (invalid tail
                                    has bin == I32MAX)
       n_hits                     : (B,) int32
+      n_flat_raw                 : (B,) int32 flat slots needed (overflow
+                                   check against hit_cap)
       anc_pos/anc_off/anc_bin    : (B, a_cap) int32 anchors in bin order
       n_anchors                  : (B,) int32
       n_queried_buckets          : (B,) int32 (the reference's num_seeds stat)
     """
+    if hit_cap is None:
+        hit_cap = mq_cap * max_occ
     offs, qhash, slot_ok = _queried_minimizers(
         codes2, lengths, k, w, num_seeds, max_stride, overlap, mq_cap)
-    start = jnp.searchsorted(sorted_hashes, qhash,
-                             side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_hashes, qhash,
-                           side="right").astype(jnp.int32)
-    binf, offf, posf, okf, bucket_ok = _bucket_hits(
-        sorted_hashes, positions, offs, qhash, end - start, slot_ok,
-        max_occ, bin_size)
-    return _hits_post(binf, offf, posf, okf,
-                      jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
-                      k, threshold, a_cap)
+    start, end = _bucket_ranges(sorted_hashes, qhash, lut, lut_shift,
+                                lut_steps)
+    binf, offf, posf, okf, bucket_ok, total = _bucket_hits_flat(
+        positions, offs, (start, end), end - start, slot_ok,
+        max_occ, bin_size, hit_cap)
+    res = _hits_post(binf, offf, posf, okf,
+                     jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
+                     k, threshold, a_cap)
+    res["n_flat_raw"] = total
+    return res

@@ -35,10 +35,12 @@ class SeedResult:
 
 
 class Seeder:
-    def __init__(self, table: SeedTable, cfg, a_cap: int = 8192):
-        self.table = table
+    def __init__(self, table: SeedTable, cfg, a_cap: int = 8192,
+                 hit_cap: int = 8192):
+        self.table = table.ensure_lut()
         self.cfg = cfg
         self.a_cap = a_cap
+        self.hit_cap = hit_cap
         self.max_occ = (cfg.max_bucket_occupancy
                         or table.kmer_max_occurence)
 
@@ -61,21 +63,34 @@ class Seeder:
         pcap = lcap - cfg.seed_size + 1
         mq_cap = mq_cap_for(pcap, cfg.num_seeds, cfg.max_stride,
                             cfg.do_overlap)
-        res_dev = dsoft_device(
-            jnp.asarray(codes2), jnp.asarray(lengths),
-            self.table.sorted_hashes, self.table.positions,
-            k=cfg.seed_size, w=cfg.minimizer_window,
-            num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
-            overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
-            bin_size=cfg.bin_size, max_occ=self.max_occ,
-            mq_cap=mq_cap, a_cap=min(self.a_cap, mq_cap * self.max_occ))
-        # the hit/anchor buffers are padded to their worst case (mq_cap *
-        # max_occ slots), but real rows use a tiny prefix — fetch the
-        # counts first, then only power-of-two-rounded used columns
-        # (hundreds of KB instead of ~75 MB per batch)
-        counts = np.asarray(jnp.stack(
-            [res_dev["n_hits"], res_dev["n_anchors"],
-             res_dev["n_anchors_raw"], res_dev["n_queried_buckets"]]))
+        # flat hit buffer: start optimistic and retry on overflow (the
+        # lossless worst case mq_cap*max_occ is ~100x what real reads use,
+        # and the buffer width drives both the gather and the hit sort)
+        hit_cap = min(self.hit_cap, mq_cap * self.max_occ)
+        while True:
+            res_dev = dsoft_device(
+                jnp.asarray(codes2), jnp.asarray(lengths),
+                self.table.sorted_hashes, self.table.positions,
+                k=cfg.seed_size, w=cfg.minimizer_window,
+                num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+                overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
+                bin_size=cfg.bin_size, max_occ=self.max_occ,
+                mq_cap=mq_cap, a_cap=min(self.a_cap, mq_cap * self.max_occ),
+                hit_cap=hit_cap, lut=self.table.prefix_lut,
+                lut_shift=self.table.lut_shift,
+                lut_steps=self.table.lut_steps)
+            # worst-case-padded anchor buffers use a tiny real prefix —
+            # fetch the counts first, then only the used columns
+            counts = np.asarray(jnp.stack(
+                [res_dev["n_hits"], res_dev["n_anchors"],
+                 res_dev["n_anchors_raw"], res_dev["n_queried_buckets"],
+                 res_dev["n_flat_raw"]]))
+            need = int(counts[4].max())
+            if need <= hit_cap or hit_cap >= mq_cap * self.max_occ:
+                break
+            hit_cap = min(_round_up_pow2(need, hit_cap * 2),
+                          mq_cap * self.max_occ)
+            self.hit_cap = hit_cap        # remember for later batches
         res = {"n_hits": counts[0], "n_anchors": counts[1],
                "n_anchors_raw": counts[2], "n_queried_buckets": counts[3]}
         mh = _round_up_pow2(max(int(counts[0].max()), 1), 512)

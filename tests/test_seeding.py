@@ -190,3 +190,30 @@ def test_device_table_build_matches_host(rng):
                                   np.asarray(t_host.sorted_hashes))
     np.testing.assert_array_equal(np.asarray(t_dev.positions),
                                   np.asarray(t_host.positions))
+
+
+def test_prefix_lut_ranges_match_searchsorted(rng):
+    """The prefix-LUT bisect must reproduce searchsorted exactly —
+    duplicates, absent hashes, and prefix-boundary values included."""
+    import jax.numpy as jnp
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.seeding.dsoft import _bucket_ranges
+
+    k = 14
+    hashes = np.sort(rng.integers(0, 1 << (2 * k), 20000).astype(np.uint32))
+    hashes[100:160] = hashes[100]          # a fat bucket
+    hashes = np.sort(hashes)
+    t = SeedTable(jnp.asarray(hashes), jnp.asarray(hashes), k, 3,
+                  1 << 20, 40).ensure_lut()
+    q = np.concatenate([
+        rng.choice(hashes, 500),                       # present
+        rng.integers(0, 1 << (2 * k), 500).astype(np.uint32),  # random
+        np.array([0, (1 << (2 * k)) - 1, hashes[0], hashes[-1]],
+                 np.uint32),
+    ])
+    qd = jnp.asarray(q)[None, :]
+    s1, e1 = _bucket_ranges(t.sorted_hashes, qd, t.prefix_lut,
+                            t.lut_shift, t.lut_steps)
+    s0, e0 = _bucket_ranges(t.sorted_hashes, qd)      # plain searchsorted
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e0))
