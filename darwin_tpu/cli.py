@@ -13,26 +13,7 @@ import os
 import sys
 
 from darwin_tpu.config import Config, load_config
-from darwin_tpu.pipeline.align import run
-
-
-def enable_compile_cache():
-    """Persistent XLA compilation cache (kernel variants take ~30-60s to
-    compile each; cached binaries load in seconds).  Default
-    ~/.cache/darwin_tpu/xla; override with DARWIN_TPU_COMPILE_CACHE=DIR or
-    disable with DARWIN_TPU_COMPILE_CACHE=off."""
-    loc = os.environ.get("DARWIN_TPU_COMPILE_CACHE", "")
-    if loc.lower() == "off":
-        return
-    if not loc:
-        loc = os.path.expanduser("~/.cache/darwin_tpu/xla")
-    try:
-        import jax
-        os.makedirs(loc, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", loc)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass  # cache is an optimization only
+from darwin_tpu.pipeline.align import enable_compile_cache, run
 
 
 def main(argv=None):

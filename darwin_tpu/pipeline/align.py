@@ -163,9 +163,29 @@ class Aligner:
         return printer.sam_lines(alignments, reads, self.store)
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache (kernel variants take ~30-60s to
+    compile each; cached binaries load in seconds).  Default
+    ~/.cache/darwin_tpu/xla; override with DARWIN_TPU_COMPILE_CACHE=DIR or
+    disable with DARWIN_TPU_COMPILE_CACHE=off."""
+    loc = os.environ.get("DARWIN_TPU_COMPILE_CACHE", "")
+    if loc.lower() == "off":
+        return
+    if not loc:
+        loc = os.path.expanduser("~/.cache/darwin_tpu/xla")
+    try:
+        import jax
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization only
+
+
+
 def run(ref_path: str, reads_path: str, do_overlap: bool,
         cfg: Config | None = None, out=None, err=None,
-        reads_per_batch: int = 32, index_cache: str | None = None,
+        reads_per_batch: int = 128, index_cache: str | None = None,
         pipeline_depth: int = 2) -> None:
     """pipeline_depth: read batches in flight (the TPU analog of the
     reference's token-throttled TBB flow graph, software/main.cpp:607-624);
@@ -173,6 +193,7 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     printing.  Output order and counters are deterministic — results are
     collected in submission order and per-batch counters are merged on
     collection."""
+    enable_compile_cache()
     out = out or sys.stdout
     err = err or sys.stderr
     cfg = cfg or Config()
