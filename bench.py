@@ -74,13 +74,15 @@ def main():
 
     int(rounds(qstack, rstack))  # compile + warm
 
-    # second stack with different values (the tunnel caches identical calls)
+    # fresh stacks with different values (the tunnel caches identical calls)
     rng2 = np.random.default_rng(1)
-    q2 = np.asarray(qstack).copy()
-    flip = rng2.random(q2.shape) < 0.05
-    q2[flip] = (q2[flip] + 1) % 4
-    q2 = jax.device_put(q2)
-    jax.block_until_ready(q2)
+    stacks = []
+    for s in range(3):
+        q2 = np.asarray(qstack).copy()
+        flip = rng2.random(q2.shape) < 0.05
+        q2[flip] = (q2[flip] + 1 + s) % 4
+        stacks.append(jax.device_put(q2))
+    jax.block_until_ready(stacks)
 
     # estimate the host<->device round-trip floor and subtract it
     @jax.jit
@@ -91,9 +93,13 @@ def main():
     int(tiny(jnp.int32(1)))
     rtt = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    sink = int(rounds(q2, rstack))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF
+    # best of 3 samples: a single timing through the shared tunnel can
+    # catch a slow spell; the minimum tracks the device's real throughput
+    dt = float("inf")
+    for q2 in stacks:
+        t0 = time.perf_counter()
+        sink = int(rounds(q2, rstack))
+        dt = min(dt, max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF)
 
     cells = B * T * T
     gcups = cells / dt / 1e9
