@@ -73,6 +73,11 @@ def _load():
             ctypes.POINTER(_i64), ctypes.POINTER(_i64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.decode_ops.restype = _i64
+        lib.decode_ops_batch.argtypes = [
+            _p8, _i64, _p64, _i64, _p64, _p64, _p32, _p8, _p64, _p8,
+            _p64, _p64, _p64, _p64, _p64, _p8, _p8, _p64, _p64, _p64,
+            _p32, _p32]
+        lib.decode_ops_batch.restype = None
         _lib = lib
         return _lib
 
@@ -130,6 +135,41 @@ def decode_ops_native(ops, stop_thr, direction, bases, ref_start_addr,
         ctypes.byref(rb), ctypes.byref(qb))
     return (out_ref[:cols], out_q[:cols], int(cr.value), int(cq.value),
             bool(rb.value), bool(qb.value))
+
+
+def decode_ops_batch_native(ops2d, sel, n_ops, stop_thr, direction,
+                            bases, ref_start_addr, qconcat, q_off,
+                            curr_ref, curr_q, ref_len, q_len):
+    """Batched decode_ops over rows sel of the (B, L) op matrix.  All
+    per-tile vectors are aligned with sel (length nsel).  Returns
+    (out_ref (nsel, L), out_q (nsel, L), cols, new_ref, new_q, rb, qb)
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ops2d = np.ascontiguousarray(ops2d, np.uint8)
+    nsel = len(sel)
+    L = ops2d.shape[1]
+    out_ref = np.empty((nsel, max(L, 1)), np.uint8)
+    out_q = np.empty((nsel, max(L, 1)), np.uint8)
+    cols = np.empty(nsel, np.int64)
+    new_ref = np.empty(nsel, np.int64)
+    new_q = np.empty(nsel, np.int64)
+    rb = np.empty(nsel, np.int32)
+    qb = np.empty(nsel, np.int32)
+    lib.decode_ops_batch(
+        ops2d, L, np.ascontiguousarray(sel, np.int64), nsel,
+        np.ascontiguousarray(n_ops, np.int64),
+        np.ascontiguousarray(stop_thr, np.int64),
+        np.ascontiguousarray(direction, np.int32),
+        bases, np.ascontiguousarray(ref_start_addr, np.int64),
+        qconcat, np.ascontiguousarray(q_off, np.int64),
+        np.ascontiguousarray(curr_ref, np.int64),
+        np.ascontiguousarray(curr_q, np.int64),
+        np.ascontiguousarray(ref_len, np.int64),
+        np.ascontiguousarray(q_len, np.int64),
+        out_ref, out_q, cols, new_ref, new_q, rb, qb)
+    return out_ref, out_q, cols, new_ref, new_q, rb, qb
 
 
 def fasta_scan_native(data: bytes):

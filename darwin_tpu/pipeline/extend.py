@@ -203,19 +203,40 @@ class _Ext:
             count += len(blk)
         return np.concatenate(out) if out else ops[:0]
 
+    def tile_stop(self, cfg):
+        """(left, stop_thr) for the tile about to be decoded (decode-side
+        tile sizes gated by do_overlap, extender.cpp:261,408)."""
+        left = not self.left_done
+        rt = qt = cfg.tile_size
+        if self.used_large and not cfg.do_overlap:
+            rt, qt = self._large_sizes(left, cfg)
+        return left, min(rt, qt) - cfg.tile_overlap
+
+    def apply_native(self, left: bool, n_ops_total: int, rchars, qchars,
+                     new_ref: int, new_q: int, rb: bool, qb: bool,
+                     cfg) -> bool:
+        """Apply a natively-decoded tile (chunk append, offsets,
+        termination) — shared by the per-tile and batched native paths."""
+        self.tiles += 1
+        if left:
+            self.left_chunks.append((rchars[::-1], qchars[::-1]))
+            if rb:
+                self.ref_start_off = 0
+            if qb:
+                self.q_start_off = 0
+        else:
+            self.right_chunks.append((rchars, qchars))
+        self.curr_ref = new_ref
+        self.curr_q = new_q
+        return self._post_decode(left, n_ops_total, cfg)
+
     def decode(self, ops: np.ndarray, bases: np.ndarray, q_bytes: np.ndarray,
                cfg, counters, next_loc) -> bool:
         """Apply one tile's traceback.  Returns True when this extension is
         finished (slot may be refilled).  ``q_bytes`` is the padded
         strand-local query ASCII; ``next_loc`` unused (slot refill handled by
         the manager)."""
-        self.tiles += 1
-        left = not self.left_done
-        # decode-side tile sizes (gated by do_overlap, extender.cpp:261,408)
-        rt = qt = cfg.tile_size
-        if self.used_large and not cfg.do_overlap:
-            rt, qt = self._large_sizes(left, cfg)
-        stop_thr = min(rt, qt) - cfg.tile_overlap
+        left, stop_thr = self.tile_stop(cfg)
         n_ops_total = len(ops)
 
         from darwin_tpu import native
@@ -224,18 +245,10 @@ class _Ext:
             q_bytes, self.curr_ref, self.curr_q, self.ref_len, self.q_len)
         if nat is not None:
             rchars, qchars, new_ref, new_q, rb, qb = nat
-            if left:
-                self.left_chunks.append((rchars[::-1], qchars[::-1]))
-                if rb:
-                    self.ref_start_off = 0
-                if qb:
-                    self.q_start_off = 0
-            else:
-                self.right_chunks.append((rchars, qchars))
-            self.curr_ref = new_ref
-            self.curr_q = new_q
-            return self._post_decode(left, n_ops_total, cfg)
+            return self.apply_native(left, n_ops_total, rchars, qchars,
+                                     new_ref, new_q, rb, qb, cfg)
 
+        self.tiles += 1
         a = self._applied_ops(ops, stop_thr)
 
         ref_consume = a != orc.OP_I
@@ -438,6 +451,7 @@ class ExtensionManager:
         self.q_code_start = offsets
         from darwin_tpu.genome import encode5
         allq = np.concatenate(bufs) if bufs else np.zeros(1, np.uint8)
+        self.q_ascii = allq          # batched decode indexes it by offset
         q = encode5(allq)
         self.q_codes_dev = (self.mesh.put_replicated(q) if self.mesh
                             else jnp.asarray(q))
@@ -449,6 +463,62 @@ class ExtensionManager:
             self.ref_codes_dev = (self.mesh.put_replicated(codes)
                                   if self.mesh else jnp.asarray(codes))
         return self.ref_codes_dev
+
+    def _decode_wave(self, exts, tiles, opsmat, nvec, cfg,
+                     counters) -> dict:
+        """Decode one wave of tiles — list of (batch row b, ext index ei)
+        with ops opsmat[b, :nvec[b]] — through ONE native call (per-tile
+        ctypes overhead was ~half the extension host time).  Falls back to
+        the per-tile decode when the native library is absent.  Returns
+        {ei: finished}."""
+        from darwin_tpu import native
+        out = {}
+        if len(tiles) > 1 and native.available():
+            n = len(tiles)
+            sel = np.empty(n, np.int64)
+            n_ops = np.empty(n, np.int64)
+            stops = np.empty(n, np.int64)
+            dirs = np.empty(n, np.int32)
+            rsa = np.empty(n, np.int64)
+            qoff = np.empty(n, np.int64)
+            cr = np.empty(n, np.int64)
+            cq = np.empty(n, np.int64)
+            rl = np.empty(n, np.int64)
+            ql = np.empty(n, np.int64)
+            lefts = []
+            for i, (b, ei) in enumerate(tiles):
+                e = exts[ei]
+                left, stop = e.tile_stop(cfg)
+                lefts.append(left)
+                sel[i] = b
+                n_ops[i] = int(nvec[b])
+                stops[i] = stop
+                dirs[i] = 0 if left else 1
+                rsa[i] = e.ref_start_addr
+                qoff[i] = e.q_code_start
+                cr[i] = e.curr_ref
+                cq[i] = e.curr_q
+                rl[i] = e.ref_len
+                ql[i] = e.q_len
+            res = native.decode_ops_batch_native(
+                opsmat, sel, n_ops, stops, dirs, self.bases, rsa,
+                self.q_ascii, qoff, cr, cq, rl, ql)
+            if res is not None:
+                out_ref, out_q, cols, new_ref, new_q, rb, qb = res
+                for i, (b, ei) in enumerate(tiles):
+                    e = exts[ei]
+                    c = int(cols[i])
+                    out[ei] = e.apply_native(
+                        lefts[i], int(n_ops[i]), out_ref[i, :c],
+                        out_q[i, :c], int(new_ref[i]), int(new_q[i]),
+                        bool(rb[i]), bool(qb[i]), cfg)
+                return out
+        for b, ei in tiles:
+            e = exts[ei]
+            out[ei] = e.decode(opsmat[b, :nvec[b]], self.bases,
+                               self.q_bytes[(e.read_num, e.strand)], cfg,
+                               counters, None)
+        return out
 
     def run(self, groups, reads, counters) -> List[List[ExtendAlignment]]:
         """groups: list of (read_num, strand, [ExtendLocation...]) in
@@ -540,47 +610,54 @@ class ExtensionManager:
                 n_h = np.asarray(res["n_ops"])
                 spec = "ops_spec" in res
                 n_levels = len(res["ops_spec"]) if spec else 0
-                for b, (ei, _) in enumerate(items):
-                    e = exts[ei]
-                    ops = ops_h[b, :n_h[b]]
-                    done = e.decode(
-                        ops, self.bases,
-                        self.q_bytes[(e.read_num, e.strand)], cfg, counters,
-                        None)
-                    if done:
+                # decode level by level in WAVES (one batched native decode
+                # per level) — per tile this performs exactly the original
+                # request/compare/decode sequence, stopping at the first
+                # mismatch or termination; the speculative chain: accept
+                # level j only while the device's request equals the true
+                # one after the exact decode of level j-1
+                tiles = [(b, ei) for b, (ei, _) in enumerate(items)]
+                done_map = self._decode_wave(exts, tiles, ops_h, n_h, cfg,
+                                             counters)
+                alive = []
+                for b, ei in tiles:
+                    if done_map[ei]:
                         finished.append(ei)
-                        continue
-                    # walk the speculative chain: accept level j only while
-                    # the device's request equals the true one after the
-                    # exact decode of level j-1
-                    for j in range(n_levels):
+                    else:
+                        alive.append((b, ei))
+                for j in range(n_levels):
+                    if not alive:
+                        break
+                    sr = res["spec_req"][j]
+                    accepted = []
+                    for b, ei in alive:
+                        e = exts[ei]
                         rs2, rsz2, qs2, qsz2, rv2, shape2 = e.request(
                             cfg, counters)
-                        sr = res["spec_req"][j]
                         if (shape2 == (T, T) and rv2 == rev[b]
                                 and rs2 == int(sr[0][b])
                                 and rsz2 == int(sr[1][b])
                                 and e.q_code_start + qs2 == int(sr[2][b])
                                 and qsz2 == int(sr[3][b])):
                             self.spec_hits += 1
-                            opsj = res["ops_spec"][j][
-                                b, :res["n_ops_spec"][j][b]]
-                            done = e.decode(
-                                opsj, self.bases,
-                                self.q_bytes[(e.read_num, e.strand)], cfg,
-                                counters, None)
-                            if done:
-                                finished.append(ei)
-                                break
+                            accepted.append((b, ei))
                         else:
                             self.spec_misses += 1
                             cached_req[ei] = (rs2, rsz2, qs2, qsz2, rv2,
                                               shape2)
-                            break
-                    else:
-                        # all levels consumed without termination: next
-                        # round issues a fresh request
-                        pass
+                    if not accepted:
+                        break
+                    done_map = self._decode_wave(
+                        exts, accepted, np.asarray(res["ops_spec"][j]),
+                        np.asarray(res["n_ops_spec"][j]), cfg, counters)
+                    alive = []
+                    for b, ei in accepted:
+                        if done_map[ei]:
+                            finished.append(ei)
+                        else:
+                            alive.append((b, ei))
+                # tiles that consumed all levels without termination get a
+                # fresh request next round
             for ei in finished:
                 live.remove(ei)
                 if pending:

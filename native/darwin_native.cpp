@@ -293,4 +293,34 @@ int64_t decode_ops(const uint8_t* ops, int64_t n_ops, int64_t stop_thr,
     return cols;
 }
 
+
+// ---------------------------------------------------------------------------
+// decode_ops_batch - one call applies a whole dispatch round's tracebacks.
+// sel[i] picks row b of the (B, L) op matrix; outputs are compact (nsel, L).
+// Per-tile semantics identical to decode_ops above.
+// ---------------------------------------------------------------------------
+
+void decode_ops_batch(const uint8_t* ops, int64_t L,
+                      const int64_t* sel, int64_t nsel,
+                      const int64_t* n_ops, const int64_t* stop_thr,
+                      const int32_t* direction,
+                      const uint8_t* bases, const int64_t* ref_start_addr,
+                      const uint8_t* qconcat, const int64_t* q_off,
+                      const int64_t* curr_ref_in, const int64_t* curr_q_in,
+                      const int64_t* ref_len, const int64_t* q_len,
+                      uint8_t* out_ref, uint8_t* out_q,
+                      int64_t* cols_out,
+                      int64_t* curr_ref_out, int64_t* curr_q_out,
+                      int32_t* rb_out, int32_t* qb_out) {
+    for (int64_t i = 0; i < nsel; i++) {
+        int64_t b = sel[i];
+        cols_out[i] = decode_ops(
+            ops + b * L, n_ops[i], stop_thr[i], direction[i],
+            bases, ref_start_addr[i], qconcat + q_off[i],
+            curr_ref_in[i], curr_q_in[i], ref_len[i], q_len[i],
+            out_ref + i * L, out_q + i * L,
+            curr_ref_out + i, curr_q_out + i, rb_out + i, qb_out + i);
+    }
+}
+
 }  // extern "C"
