@@ -186,8 +186,10 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
         e_ext = e + ge
         el_open = h + goL
         el_ext = el + geL
-        ebits = (jnp.where(e_open > e_ext, gact.E_OPEN8, 0)
-                 + jnp.where(el_open > el_ext, gact.EL_OPEN8, 0))
+        if with_trace:
+            # only the next column's trace word reads these
+            ebits = (jnp.where(e_open > e_ext, gact.E_OPEN8, 0)
+                     + jnp.where(el_open > el_ext, gact.EL_OPEN8, 0))
         e = jnp.maximum(e_open, e_ext)
         el = jnp.maximum(el_open, el_ext)
         h_prev_roll = h_up
@@ -212,7 +214,8 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
 
     e_ref[:] = e
     el_ref[:] = el
-    ebits_ref[:] = ebits
+    if with_trace:
+        ebits_ref[:] = ebits
     hroll_ref[:] = h_prev_roll
     if not all_start_end:
         best_ref[0:1] = best
