@@ -102,3 +102,31 @@ def test_decode_ops_native_matches_numpy(rng):
         assert got[1].tolist() == qch.tolist(), trial
         assert (got[2], got[3]) == (nr, nq), trial
         assert (got[4], got[5]) == (rb, qb), trial
+
+
+def test_pipeline_output_invariant_to_decode_path(rng, monkeypatch):
+    """End-to-end SAM output must be identical across the three traceback
+    decode paths: batched native (wave), per-tile native, pure NumPy."""
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore, make_read
+    from darwin_tpu.pipeline.align import Aligner
+    from darwin_tpu.utils.simulate import simulate_reads
+
+    store = GenomeStore()
+    bases = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 120000)]
+    store.add_chromosome("c1", bases)
+    store.finalize()
+    cfg = Config()
+    sim = simulate_reads(store, 6, 4000, seed=11)
+    reads = [make_read(n, s) for n, s, _ in sim]
+
+    base = Aligner(cfg, store).align_batch(reads)
+
+    monkeypatch.setattr(native, "decode_ops_batch_native",
+                        lambda *a, **k: None)
+    per_tile = Aligner(cfg, store).align_batch(reads)
+    assert per_tile == base
+
+    monkeypatch.setattr(native, "decode_ops_native", lambda *a, **k: None)
+    numpy_path = Aligner(cfg, store).align_batch(reads)
+    assert numpy_path == base
