@@ -378,9 +378,11 @@ def first_tile_scores(ref_codes, query_codes, r_start, r_size, q_start,
     if use_pallas():
         from darwin_tpu.ops import gact_pallas
         req = _pack_requests(r_start, r_size, q_start, q_size)
-        packed = np.asarray(_first_tiles_pallas(
+        packed = _first_tiles_pallas(
             ref_codes, query_codes, req,
-            gact_pallas._static_params(params), qt, rt))
+            gact_pallas._static_params(params), qt, rt)
+        # device arrays — the caller's np.asarray is the (deferred) fetch,
+        # so both strands' dispatches overlap
         return {"score": packed[0], "query_max_pos": packed[1],
                 "ref_max_pos": packed[2]}
     B = r_start.shape[0]

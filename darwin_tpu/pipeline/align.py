@@ -74,12 +74,13 @@ class Aligner:
                                if self.mesh_dispatch else jnp.asarray(codes))
         return self._ref_codes
 
-    def _filter_strand(self, reads, anchors_per_read, strand, counters,
-                       mgr):
-        """Run first tiles for one strand; returns slope-filtered locations
-        (software/filter.cpp:8-228).  Queries gather from the extension
-        manager's resident per-batch code buffer (one upload serves the
-        filter and every extension round)."""
+    def _filter_dispatch(self, reads, anchors_per_read, strand, counters,
+                         mgr):
+        """Enqueue one strand's first tiles (software/filter.cpp:8-228).
+        Queries gather from the extension manager's resident per-batch code
+        buffer (one upload serves the filter and every extension round).
+        Returns (batch, n, device result) for _filter_collect — both
+        strands dispatch before either fetches."""
         cfg = self.cfg
         batch = flt.build_first_tiles(reads, anchors_per_read,
                                       0 if strand == "+" else 1,
@@ -87,7 +88,7 @@ class Aligner:
         n = len(batch.meta)
         counters["num_filter_tiles"] += n
         if n == 0:
-            return []
+            return batch, 0, None
         q_start = batch.q_start.copy()
         for i, (read_num, *_rest) in enumerate(batch.meta):
             q_start[i] += mgr.q_code_start[(read_num, strand)]
@@ -112,6 +113,14 @@ class Aligner:
             res = first_tile_scores(
                 self._ref_codes_dev(), mgr.q_codes_dev,
                 rs, rsz, qs, qsz, self.params, qt=T, rt=T)
+        return batch, n, res
+
+    def _filter_collect(self, dispatched, reads, counters):
+        """Fetch + threshold + slope filter for one strand's tiles."""
+        cfg = self.cfg
+        batch, n, res = dispatched
+        if n == 0:
+            return []
         scores = np.asarray(res["score"])[:n]
         rmax = np.asarray(res["ref_max_pos"])[:n]
         qmax = np.asarray(res["query_max_pos"])[:n]
@@ -136,10 +145,12 @@ class Aligner:
                                mesh_dispatch=self.mesh_dispatch,
                                ref_codes_dev=self._ref_codes_dev())
         seeded = self.seeder.seed_batch(reads)
-        fw_locs = self._filter_strand(reads, seeded.fw_anchors, "+",
-                                      counters, mgr)
-        rc_locs = self._filter_strand(reads, seeded.rc_anchors, "-",
-                                      counters, mgr)
+        fw_d = self._filter_dispatch(reads, seeded.fw_anchors, "+",
+                                     counters, mgr)
+        rc_d = self._filter_dispatch(reads, seeded.rc_anchors, "-",
+                                     counters, mgr)
+        fw_locs = self._filter_collect(fw_d, reads, counters)
+        rc_locs = self._filter_collect(rc_d, reads, counters)
 
         # group per read, per strand (fw then rc), preserving slope-filter
         # order within the group — the reference's effective one-read batches
@@ -148,8 +159,6 @@ class Aligner:
             groups.append((i, "+", [l for l in fw_locs if l.read_num == i]))
             groups.append((i, "-", [l for l in rc_locs if l.read_num == i]))
 
-        mgr = ExtensionManager(self.store, reads, cfg, self.params,
-                               mesh_dispatch=self.mesh_dispatch)
         emitted = mgr.run(groups, reads, counters)
 
         # per read: fw emissions then rc emissions (extender_body order)
