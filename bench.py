@@ -77,7 +77,7 @@ def main():
     # fresh stacks with different values (the tunnel caches identical calls)
     rng2 = np.random.default_rng(1)
     stacks = []
-    for s in range(3):
+    for s in range(5):
         q2 = np.asarray(qstack).copy()
         flip = rng2.random(q2.shape) < 0.05
         q2[flip] = (q2[flip] + 1 + s) % 4
@@ -93,8 +93,9 @@ def main():
     int(tiny(jnp.int32(1)))
     rtt = time.perf_counter() - t0
 
-    # best of 3 samples: a single timing through the shared tunnel can
-    # catch a slow spell; the minimum tracks the device's real throughput
+    # best of 5 samples: a single timing through the shared tunnel can
+    # catch a multi-second slow spell; the minimum tracks the device's
+    # real throughput
     dt = float("inf")
     for q2 in stacks:
         t0 = time.perf_counter()
