@@ -17,7 +17,6 @@ from darwin_tpu.pipeline.align import enable_compile_cache, run
 
 
 def main(argv=None):
-    enable_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     index_cache = None
     profile_dir = None
@@ -27,12 +26,18 @@ def main(argv=None):
             index_cache = a.split("=", 1)[1]
         elif a.startswith("--profile="):
             profile_dir = a.split("=", 1)[1]
+        elif a.startswith("--platform="):
+            # Some plugin backends (axon) ignore the JAX_PLATFORMS env var;
+            # the config API set before first backend use is authoritative.
+            import jax
+            jax.config.update("jax_platforms", a.split("=", 1)[1])
         else:
             rest.append(a)
+    enable_compile_cache()
     if len(rest) < 3:
         print("Usage: python -m darwin_tpu.cli <REFERENCE>.fasta "
               "<READS>.fasta OVERLAP(0/1) [--index-cache=FILE.npz] "
-              "[--profile=DIR]", file=sys.stderr)
+              "[--profile=DIR] [--platform=cpu|tpu]", file=sys.stderr)
         return 1
     ref_path, reads_path, overlap = rest[0], rest[1], bool(int(rest[2]))
     if os.path.exists("params.cfg"):

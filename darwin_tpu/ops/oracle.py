@@ -435,8 +435,20 @@ def striped_align(query, ref, sub, gap_open, gap_extend,
             vEF_L_opn = _vshift(vEF_L_opn, goL)
             vF_L_ext = _vshift(vF_L_ext, NEG_INF)
             vF_L = _vshift(vF_L, goL)
-            vF_La_ext = _vshift(vF_La_ext, NEG_INF) if k > 0 else v(NEG_INF)
-            vF_La = _vshift(vF_La, goL) if k > 0 else v(goL)
+            # k == 0 models ZERO-initialized vF_La/vF_La_ext.  The reference
+            # seeds the short-gap lazy accumulators (vFa_ext = vF_ext,
+            # vFa = vF, Processor.cpp:385-386) but never the long-gap twins
+            # vF_La/vF_La_ext, whose first use is this shift — a genuine
+            # uninitialized-variable bug: the affected F_L source bits of
+            # stripe-0 cells vary with compiler flags (verified: -O0, -O2 and
+            # -ftrivial-auto-var-init={zero,pattern} builds produce different
+            # trace matrices on the same input; scores/positions agree).  The
+            # ground-truth .so (tests/ref_kernel.py) is built with
+            # -ftrivial-auto-var-init=zero to pin this down; lanes 1.. carry
+            # the zero-init through the k=0 shift.
+            vF_La_ext = (_vshift(vF_La_ext, NEG_INF) if k > 0
+                         else _vshift(v(0), NEG_INF))
+            vF_La = _vshift(vF_La, goL) if k > 0 else _vshift(v(0), goL)
             for i in range(segLen):
                 vH = pvHStore[i].copy()
                 vH = np.maximum(vH, vF)
