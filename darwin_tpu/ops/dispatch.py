@@ -110,13 +110,13 @@ def _pack_requests(r_start, r_size, q_start, q_size, rev=None):
 
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
-                                             "params_static"))
+                                             "params_static", "safe"))
 def _extend_round_pallas(ref_codes, query_codes, req, params_static,
-                         qt, rt, max_tb):
+                         qt, rt, max_tb, safe=False):
     """One fused device program per extension round: tile gather + Pallas
-    DP + sweep traceback + result packing.  Returns (RTpad + 5, Bpad) int32:
+    DP + sweep traceback + result packing.  Returns (RTpad + 6, Bpad) int32:
     rows [0, RTpad) the traceback records, then q_steps, r_steps, score,
-    qpos, rpos."""
+    qpos, rpos, spill."""
     from darwin_tpu.ops import gact_pallas
     r_start, r_size = req[0], req[1].astype(jnp.int32)
     q_start, q_size = req[2], req[3].astype(jnp.int32)
@@ -126,8 +126,8 @@ def _extend_round_pallas(ref_codes, query_codes, req, params_static,
     se = jnp.ones(r_start.shape, bool)
     res = gact_pallas._dp_call(qtile, rtile, q_size, r_size, se,
                                params_static, True, True, False)
-    rec, qsteps, rsteps = gact_pallas._tb_call(
-        res["trace"], q_size - 1, r_size - 1, max_tb, False)
+    rec, qsteps, rsteps, spill = gact_pallas._tb_call(
+        res["trace"], q_size - 1, r_size - 1, max_tb, False, safe=safe)
     Bp = rec.shape[1]
 
     def row(x):
@@ -138,7 +138,8 @@ def _extend_round_pallas(ref_codes, query_codes, req, params_static,
     # positions < 2*tile for any supported tile geometry)
     return jnp.concatenate(
         [rec, qsteps[None, :], rsteps[None, :], row(res["score"]),
-         row(res["query_max_pos"]), row(res["ref_max_pos"])],
+         row(res["query_max_pos"]), row(res["ref_max_pos"]),
+         spill[None, :]],
         axis=0).astype(jnp.int16)
 
 
@@ -211,9 +212,9 @@ SPEC_K = int(os.environ.get("DARWIN_TPU_SPEC_K", "12"))
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
                                              "params_static", "stop_thr",
-                                             "K"))
+                                             "K", "safe"))
 def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
-                              qt, rt, max_tb, stop_thr, K):
+                              qt, rt, max_tb, stop_thr, K, safe=False):
     """K chained extension tiles per dispatch.  Tile 1 is exact; each
     subsequent tile's request is predicted from the previous tile's
     cutoff advance (dr, dq) and computed speculatively in the same
@@ -224,7 +225,7 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
     exact decode.
 
     Rows: [rec_1..rec_K (K*RTp) | q_steps1 r_steps1 score1 qpos1 rpos1 |
-           (d_rstart d_rsize d_qstart d_qsize) * (K-1)]
+           (d_rstart d_rsize d_qstart d_qsize) * (K-1) | spill]
     """
     from darwin_tpu.ops import gact_pallas
     r_start, r_size = req[0], req[1].astype(jnp.int32)
@@ -242,12 +243,12 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
                                     qs, qsz, rev, qt, rt)
         res = gact_pallas._dp_call(qtile, rtile, qsz, rsz, se,
                                    params_static, True, True, False)
-        rec, qsteps, rsteps = gact_pallas._tb_call(
-            res["trace"], qsz - 1, rsz - 1, max_tb, False)
-        return res, rec, qsteps, rsteps
+        rec, qsteps, rsteps, spill = gact_pallas._tb_call(
+            res["trace"], qsz - 1, rsz - 1, max_tb, False, safe=safe)
+        return res, rec, qsteps, rsteps, spill
 
-    res1, rec1, qsteps1, rsteps1 = one_tile(r_start, r_size, q_start,
-                                            q_size)
+    res1, rec1, qsteps1, rsteps1, spill = one_tile(r_start, r_size,
+                                                   q_start, q_size)
     Bp = rec1.shape[1]
 
     def row(x):
@@ -284,7 +285,8 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
                            jnp.where(curr_q >= TT, curr_q - TT + 1, 0))
         rs2 = chrom_start + r_rel2.astype(jnp.int64)
         qs2 = q_buf_start.astype(jnp.int64) + q_rel2.astype(jnp.int64)
-        _, rec2, _, _ = one_tile(rs2, rsz2, qs2, qsz2)
+        _, rec2, _, _, spill2 = one_tile(rs2, rsz2, qs2, qsz2)
+        spill = spill | spill2
         recs.append(rec2)
         delta_rows += [row((rs2 - p_rs).astype(jnp.int32)), row(rsz2),
                        row((qs2 - p_qs).astype(jnp.int32)), row(qsz2)]
@@ -293,7 +295,7 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
     return jnp.concatenate(
         recs + [qsteps1[None, :], rsteps1[None, :], row(res1["score"]),
                 row(res1["query_max_pos"]), row(res1["ref_max_pos"])]
-        + delta_rows, axis=0).astype(jnp.int16)
+        + delta_rows + [spill[None, :]], axis=0).astype(jnp.int16)
 
 
 def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
@@ -327,8 +329,13 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
 
     def resolve():
         packed = np.asarray(packed_dev)
+        if packed[-1].any():  # fast-sweep spill: rerun with safe kernel
+            packed = np.asarray(_extend_round_spec_pallas(
+                ref_codes, query_codes, req,
+                gact_pallas._static_params(params), qt, rt, max_tb,
+                stop_thr, K, safe=True))
         nrows = packed.shape[0]
-        RTp = (nrows - 5 - 4 * (K - 1)) // K
+        RTp = (nrows - 6 - 4 * (K - 1)) // K
         L = min(qt + RTp, 2 * max_tb)
         ops1, n1 = gact_pallas._expand_records(packed[:RTp], B, L)
         tail = packed[K * RTp:]
@@ -423,7 +430,12 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
 
         def resolve():
             packed = np.asarray(packed_dev)
-            rec, tail = packed[:-5], packed[-5:]
+            if packed[-1].any():  # fast-sweep spill: rerun with safe kernel
+                packed = np.asarray(_extend_round_pallas(
+                    ref_codes, query_codes, req,
+                    gact_pallas._static_params(params), qt, rt, max_tb,
+                    safe=True))
+            rec, tail = packed[:-6], packed[-6:]
             L = min(qt + rec.shape[0], 2 * max_tb)
             ops, n_ops = gact_pallas._expand_records(rec, B, L)
             return {"ops": ops, "n_ops": n_ops,

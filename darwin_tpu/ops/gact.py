@@ -140,7 +140,26 @@ def _column_gap_scan(hp, go, ge, goL, geL):
     return res[4], res[5]
 
 
-def _column_gaps_prefix(hp, go, ge, goL, geL):
+def _windowed_max(a, w, axis):
+    """Inclusive trailing-window max over the last w (a power of two)
+    elements along `axis` via log-shift steps; w >= length = full prefix
+    max.  Works on jnp and np arrays alike."""
+    n = a.shape[axis]
+    xp = jnp if isinstance(a, jax.Array) else np
+    neg = a.dtype.type(-(1 << 28)) if hasattr(a.dtype, "type") else -(1 << 28)
+    s = 1
+    while s < min(w, n):
+        pad_shape = list(a.shape)
+        pad_shape[axis] = s
+        pad = xp.full(pad_shape, neg, a.dtype)
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, n - s)
+        a = xp.maximum(a, xp.concatenate([pad, a[tuple(sl)]], axis=axis))
+        s *= 2
+    return a
+
+
+def _column_gaps_prefix(hp, go, ge, goL, geL, wf=None, wfl=None):
     """Fast path for the within-column gap recurrence, valid whenever
     gap_open <= gap_extend and long_gap_open <= long_gap_extend (i.e.
     opening is never cheaper than extending — any sane scoring).
@@ -154,22 +173,25 @@ def _column_gaps_prefix(hp, go, ge, goL, geL):
         F_L(q) = goL + geL*(q-1) + max_{j=-1..q-1}(Hb(j) - geL*j)
 
     with Hb(j) = Hp(j) = max(dag, E, E_L)(j) and Hb(-1) = 0 — two plain
-    prefix maxima (lax.cummax) instead of a 6-word max-plus scan.  Values
-    (not just the argmax) are exactly equal to the coupled recurrence, so
-    trace bits are unaffected.
+    prefix maxima instead of a 6-word max-plus scan.  Values (not just the
+    argmax) are exactly equal to the coupled recurrence, so trace bits are
+    unaffected.  The dominated lane's prefix max is windowed per
+    gap_scan_windows (wf/wfl default to the full length).
     """
     B, Q = hp.shape
+    if wf is None or wfl is None:
+        wf, wfl = gap_scan_windows(go, ge, goL, geL, Q)
     q_idx = jnp.arange(Q, dtype=jnp.int32)[None, :]
 
-    def one(open_, ext):
+    def one(open_, ext, w):
         # a[t] for t in [0, Q) corresponds to j = t - 1
         a = jnp.concatenate(
             [jnp.full((B, 1), ext, jnp.int32),           # j = -1: 0 - ext*(-1)
              hp[:, :Q - 1] - ext * q_idx[:, :Q - 1]], axis=1)
-        m = jax.lax.cummax(a, axis=1)
+        m = _windowed_max(a, w, axis=1)
         return open_ + ext * (q_idx - 1) + m
 
-    return one(go, ge), one(goL, geL)
+    return one(go, ge, wf), one(goL, geL, wfl)
 
 
 def _shift_q(x, fill):
@@ -178,8 +200,6 @@ def _shift_q(x, fill):
     return jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("with_trace", "prefix_gaps",
-                                              "all_start_end"))
 def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
                 with_trace=True, prefix_gaps=True, all_start_end=False):
     """Align a batch of tiles.
@@ -193,6 +213,25 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
     if with_trace, trace of shape (RT, B, QT) uint8 (trace[r, b, q], 8-bit
     layout above).
     """
+    QT = qcodes.shape[1]
+    try:
+        wins = orc.gap_scan_windows(
+            params.gap_open, params.gap_extend, params.long_gap_open,
+            params.long_gap_extend, QT)
+    except Exception:
+        # params are tracers (called under an outer jit): full scans.
+        # Walked results are window-invariant, so mixing is harmless.
+        wins = (QT, QT)
+    return _batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
+                        with_trace, prefix_gaps, all_start_end, wins)
+
+
+@functools.partial(jax.jit, static_argnames=("with_trace", "prefix_gaps",
+                                              "all_start_end",
+                                              "gap_windows"))
+def _batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
+                 with_trace=True, prefix_gaps=True, all_start_end=False,
+                 gap_windows=None):
     B, QT = qcodes.shape
     RT = rcodes.shape[1]
     sub = params.sub
@@ -220,7 +259,8 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
         dag = jnp.maximum(_shift_q(h_prev, 0) + prof, 0)
         hp = jnp.maximum(jnp.maximum(dag, e), e_l)
         if prefix_gaps:
-            f, f_l = _column_gaps_prefix(hp, go, ge, goL, geL)
+            wf, wfl = gap_windows if gap_windows is not None else (QT, QT)
+            f, f_l = _column_gaps_prefix(hp, go, ge, goL, geL, wf, wfl)
         else:
             f, f_l = _column_gap_scan(hp, go, ge, goL, geL)
         h = jnp.maximum(hp, jnp.maximum(f, f_l))

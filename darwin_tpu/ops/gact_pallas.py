@@ -86,7 +86,7 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
                e_ref, el_ref, ebits_ref, hroll_ref,
                best_ref, hend_ref,
                *, QT, n_groups, pcol, sub, go, ge, goL, geL,
-               all_start_end, with_trace):
+               wf, wfl, all_start_end, with_trace):
     r = pl.program_id(1)
     qio = jax.lax.broadcasted_iota(jnp.int32, (QT, LANES), 0)
 
@@ -118,6 +118,22 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
     best_r = best_ref[2:3]
     hend = hend_ref[:]
 
+    # Query-side profile columns, loop-invariant (CreateVProfile,
+    # Processor.cpp:87-115): scol[c][q, lane] = sub[qcodes[q, lane], c].
+    # Built once per grid step from the resident qc registers; per column
+    # the profile is then 4 compares + 4 selects against the (1, LANES)
+    # ref code instead of a full select chain over the query codes.  Only
+    # for standard tiles — large-tile variants (QT up to 1984) can't
+    # afford 5 extra (QT, LANES) live values.
+    precomp_scol = pcol >= 8 and QT <= 512
+    if precomp_scol:
+        scol = []
+        for cc in range(5):
+            pv = jnp.full((QT, LANES), int(sub[0][cc]), jnp.int32)
+            for qv in range(1, 5):
+                pv = jnp.where(qc == qv, int(sub[qv][cc]), pv)
+            scol.append(pv)
+
     for c in range(pcol):
         rr = r * pcol + c                                # column index
         if pcol >= 8:
@@ -127,30 +143,35 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
             # loads on int8 aren't supported by Mosaic)
             rc = jnp.max(jnp.where(row8io == (r * pcol) % 8 + c, rows, -1),
                          axis=0, keepdims=True)
-        # substitution profile on the fly (CreateVProfile,
-        # Processor.cpp:87-115): per-lane sub-matrix column for rc via
-        # (1,LANES) selects, then one select chain over the query codes —
-        # no profile scratch, so large-tile variants (QT up to 1984) stay
-        # inside VMEM.
-        subrow = []
-        for qv in range(5):
-            srv = jnp.full((1, LANES), int(sub[qv][0]), jnp.int32)
+        if precomp_scol:
+            prof = scol[0]
             for cc in range(1, 5):
-                srv = jnp.where(rc == cc, int(sub[qv][cc]), srv)
-            subrow.append(srv)
-        prof = jnp.broadcast_to(subrow[0], (QT, LANES))
-        for qv in range(1, 5):
-            prof = jnp.where(qc == qv, subrow[qv], prof)
+                prof = jnp.where(rc == cc, scol[cc], prof)
+        else:
+            # on-the-fly: per-lane sub-matrix column for rc via (1,LANES)
+            # selects, then one select chain over the query codes — no
+            # profile registers, so large tiles stay inside VMEM.
+            subrow = []
+            for qv in range(5):
+                srv = jnp.full((1, LANES), int(sub[qv][0]), jnp.int32)
+                for cc in range(1, 5):
+                    srv = jnp.where(rc == cc, int(sub[qv][cc]), srv)
+                subrow.append(srv)
+            prof = jnp.broadcast_to(subrow[0], (QT, LANES))
+            for qv in range(1, 5):
+                prof = jnp.where(qc == qv, subrow[qv], prof)
 
         dag = jnp.maximum(h_prev_roll + prof, 0)
         hp = jnp.maximum(jnp.maximum(dag, e), el)
 
         # within-column gaps: F(q) = go + ge*(q-1) + max_{j<q}(hp(j) - ge*j)
         # with the j = -1 boundary folded in as row 0 (see
-        # gact._column_gaps_prefix).
+        # gact._column_gaps_prefix); the dominated lane's scan is windowed
+        # (oracle.gap_scan_windows — e.g. 5 instead of 9 shift+max steps
+        # for the default scoring's short lane at QT=384)
         hp_sh = _shift_down(hp, 1, 0)
-        f = go + ge * arow + _cummax_sublanes(hp_sh - ge * arow, QT)
-        fl = goL + geL * arow + _cummax_sublanes(hp_sh - geL * arow, QT)
+        f = go + ge * arow + _cummax_sublanes(hp_sh - ge * arow, wf)
+        fl = goL + geL * arow + _cummax_sublanes(hp_sh - geL * arow, wfl)
         h = jnp.maximum(hp, jnp.maximum(f, fl))
         h_up = _shift_down(h, 1, 0)
 
@@ -271,8 +292,19 @@ _TB_DONE = 0
 
 
 def _tb_kernel(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref, rsteps_ref,
-               st_ref, i_ref, qs_ref, rs_ref, *, QT, n_groups, pcol,
-               max_tb):
+               spill_ref, st_ref, i_ref, qs_ref, rs_ref, sp_ref, *,
+               QT, n_groups, pcol, max_tb):
+    """Run-consuming traceback sweep: two fixed vectorized stages per
+    column, no data-dependent while loop (the per-iteration scalar-sync
+    cost of the while-based kernel was ~70% of the DP itself).
+
+    Key invariants: an I-run never crosses a column (I ops keep j fixed)
+    and, within a column, the walk is [optional I-run] then [one closing
+    M/D op] — stage A consumes the whole run via a masked search for the
+    nearest set open bit, stage B emits the closing op.  A second run in
+    the same column (possible only on exact gap-lane ties under the
+    supported go<=ge scorings, see ops/gact.py) sets the spill flag; the
+    caller re-runs the while-based safe kernel (_tb_kernel_safe)."""
     r = pl.program_id(1)
     qio = jax.lax.broadcasted_iota(jnp.int32, (QT, LANES), 0)
 
@@ -282,6 +314,113 @@ def _tb_kernel(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref, rsteps_ref,
         i_ref[:] = jnp.zeros((1, LANES), jnp.int32)
         qs_ref[:] = jnp.zeros((1, LANES), jnp.int32)
         rs_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        sp_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+
+    sq = sq_ref[:]
+    sr = sr_ref[:]
+
+    # Static-trip fori over the group's columns: compiles to a hardware
+    # loop (no per-iteration scalar sync, unlike the data-dependent while
+    # of _tb_kernel_safe) and keeps the program graph compact.
+    def column(k, carry):
+        st, i, qs, rs, sp = carry
+        c = pcol - 1 - k
+        jglob = (n_groups - 1 - r) * pcol + c
+        newly = sr == jglob
+        i = jnp.where(newly, sq, i)
+        st = jnp.where(newly, _TB_DIAG, st)
+
+        words = trace_ref[pl.ds(c, 1)][0].astype(jnp.int32)  # (QT, LANES)
+
+        # ---- stage A: close, or consume a whole I-run ----
+        ended = (qs >= max_tb) | (rs >= max_tb) | (i < 0)
+        st = jnp.where(ended, _TB_DONE, st)
+        act = st != _TB_DONE
+        w = jnp.max(jnp.where(qio == i, words, 0), axis=0, keepdims=True)
+        eff = jnp.where(st == _TB_DIAG, w & 7, st)
+        is_m = act & (eff == gact.T8_DIAG)
+        is_dcl = act & ((eff == gact.T8_DEL) | (eff == gact.T8_DEL_L))
+        is_run = act & ((eff == gact.T8_INS) | (eff == gact.T8_INS_L))
+        is_zero = act & (eff == _TB_DONE)
+
+        one_m = is_m.astype(jnp.int32)
+        qs = qs + one_m
+        rs = rs + one_m + is_dcl.astype(jnp.int32)
+        i = i - one_m
+        open_d = jnp.where(eff == gact.T8_DEL, w & gact.E_OPEN8,
+                           w & gact.EL_OPEN8)
+        st_after_d = jnp.where(open_d != 0, _TB_DIAG, eff)
+
+        bitsel = jnp.where(eff == gact.T8_INS, gact.F_OPEN8, gact.FL_OPEN8)
+        cand = jnp.where(((words & bitsel) != 0) & (qio <= i), qio, -1)
+        qp = jnp.max(cand, axis=0, keepdims=True)
+        cnt_raw = i - qp + 1
+        cnt = jnp.minimum(cnt_raw, max_tb - qs)
+        capped = is_run & (cnt < cnt_raw)
+        nI = jnp.where(is_run, cnt, 0)
+        qs = qs + nI
+        i = i - nI
+        closing = jnp.where(is_m, orc_OP_M, jnp.where(is_dcl, orc_OP_D, 0))
+        st = jnp.where(is_zero | capped, _TB_DONE,
+                       jnp.where(is_dcl, st_after_d,
+                                 jnp.where(is_m | is_run, _TB_DIAG, st)))
+
+        # ---- stage B: closing op for lanes that consumed a run ----
+        actB = is_run & ~capped
+        endedB = (i < 0) | (qs >= max_tb) | (rs >= max_tb)
+        st = jnp.where(actB & endedB, _TB_DONE, st)
+        actB = actB & ~endedB
+        wB = jnp.max(jnp.where(qio == i, words, 0), axis=0, keepdims=True)
+        tfB = wB & 7
+        is_mB = actB & (tfB == gact.T8_DIAG)
+        is_dB = actB & ((tfB == gact.T8_DEL) | (tfB == gact.T8_DEL_L))
+        is_zB = actB & (tfB == _TB_DONE)
+        sp = sp | (actB & ((tfB == gact.T8_INS)
+                           | (tfB == gact.T8_INS_L))).astype(jnp.int32)
+        one_mB = is_mB.astype(jnp.int32)
+        qs = qs + one_mB
+        rs = rs + one_mB + is_dB.astype(jnp.int32)
+        i = i - one_mB
+        open_dB = jnp.where(tfB == gact.T8_DEL, wB & gact.E_OPEN8,
+                            wB & gact.EL_OPEN8)
+        stB_after_d = jnp.where(open_dB != 0, _TB_DIAG, tfB)
+        st = jnp.where(is_zB, _TB_DONE, jnp.where(is_dB, stB_after_d, st))
+        closing = jnp.where(is_mB, orc_OP_M,
+                            jnp.where(is_dB, orc_OP_D, closing))
+
+        rec_ref[pl.ds(c, 1)] = nI + (closing << 14)
+        return (st, i, qs, rs, sp)
+
+    st, i, qs, rs, sp = jax.lax.fori_loop(
+        0, pcol, column,
+        (st_ref[:], i_ref[:], qs_ref[:], rs_ref[:], sp_ref[:]))
+
+    st_ref[:] = st
+    i_ref[:] = i
+    qs_ref[:] = qs
+    rs_ref[:] = rs
+    sp_ref[:] = sp
+
+    @pl.when(r == n_groups - 1)
+    def _fin():
+        qsteps_ref[:] = qs
+        rsteps_ref[:] = rs
+        spill_ref[:] = sp
+
+
+def _tb_kernel_safe(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref,
+                    rsteps_ref, spill_ref, st_ref, i_ref, qs_ref, rs_ref,
+                    sp_ref, *, QT, n_groups, pcol, max_tb):
+    r = pl.program_id(1)
+    qio = jax.lax.broadcasted_iota(jnp.int32, (QT, LANES), 0)
+
+    @pl.when(r == 0)
+    def _init():
+        st_ref[:] = jnp.full((1, LANES), _TB_DONE, jnp.int32)
+        i_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        qs_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        rs_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        sp_ref[:] = jnp.zeros((1, LANES), jnp.int32)
 
     st = st_ref[:]
     i = i_ref[:]
@@ -352,10 +491,12 @@ def _tb_kernel(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref, rsteps_ref,
     def _fin():
         qsteps_ref[:] = qs
         rsteps_ref[:] = rs
+        spill_ref[:] = sp
 
 
-@functools.partial(jax.jit, static_argnames=("max_tb", "interpret"))
-def _tb_call(trace, start_q, start_r, max_tb, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("max_tb", "interpret", "safe"))
+def _tb_call(trace, start_q, start_r, max_tb, interpret, safe=False):
     RT, QT, B = trace.shape
     pcol = 8          # the sweep's live set is small at any QT
     n_groups = RT // pcol
@@ -365,7 +506,8 @@ def _tb_call(trace, start_q, start_r, max_tb, interpret):
         sq = jnp.pad(sq, ((0, 0), (0, B - sq.shape[1])), constant_values=-1)
         sr = jnp.pad(sr, ((0, 0), (0, B - sr.shape[1])), constant_values=-1)
 
-    kern = functools.partial(_tb_kernel, QT=QT, n_groups=n_groups,
+    kern = functools.partial(_tb_kernel_safe if safe else _tb_kernel,
+                             QT=QT, n_groups=n_groups,
                              pcol=pcol, max_tb=max_tb)
     row_spec = pl.BlockSpec((1, LANES), lambda b, r: (0, b),
                             memory_space=pltpu.VMEM)
@@ -374,7 +516,7 @@ def _tb_call(trace, start_q, start_r, max_tb, interpret):
             dimension_semantics=("parallel", "arbitrary"))
     except TypeError:
         cparams = None
-    rec, qsteps, rsteps = pl.pallas_call(
+    rec, qsteps, rsteps, spill = pl.pallas_call(
         kern,
         grid=(B // LANES, n_groups),
         in_specs=[
@@ -386,18 +528,19 @@ def _tb_call(trace, start_q, start_r, max_tb, interpret):
         out_specs=[
             pl.BlockSpec((pcol, LANES), lambda b, r: (n_groups - 1 - r, b),
                          memory_space=pltpu.VMEM),
-            row_spec, row_spec,
+            row_spec, row_spec, row_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((RT, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32)] * 4,
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32)] * 5,
         compiler_params=cparams,
         interpret=interpret,
     )(trace, sq, sr)
-    return rec, qsteps[0], rsteps[0]
+    return rec, qsteps[0], rsteps[0], spill[0]
 
 
 def _expand_records(rec: np.ndarray, n_valid: int, L: int):
@@ -473,10 +616,11 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
     se2 = start_end.astype(jnp.int32)[None, :]
     n_groups = RT // pcol
 
+    wf, wfl = _orc.gap_scan_windows(go, ge, goL, geL, QT)
     kern = functools.partial(
         _dp_kernel, QT=QT, n_groups=n_groups, pcol=pcol, sub=sub, go=go,
-        ge=ge, goL=goL, geL=geL, all_start_end=all_start_end,
-        with_trace=with_trace)
+        ge=ge, goL=goL, geL=geL, wf=wf, wfl=wfl,
+        all_start_end=all_start_end, with_trace=with_trace)
 
     row_spec = pl.BlockSpec((1, LANES), lambda b, r: (0, b),
                             memory_space=pltpu.VMEM)
@@ -556,35 +700,45 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
 
 def align_and_traceback_device(qcodes, rcodes, qlens, rlens, start_end,
                                params, max_tb_steps, all_start_end=False,
-                               interpret=False):
+                               interpret=False, safe=False):
     """Fully on-device DP + sweep traceback; jittable.  Returns score/pos
     plus the raw per-column traceback records (expand with
-    _expand_records)."""
+    _expand_records) and the fast-kernel spill flags (always 0 from the
+    safe kernel)."""
     res = batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
                       with_trace=True, all_start_end=all_start_end,
                       interpret=interpret)
-    rec, qsteps, rsteps = _tb_call(
+    rec, qsteps, rsteps, spill = _tb_call(
         res["trace"],
         jnp.where(start_end, qlens - 1, res["query_max_pos"]),
         jnp.where(start_end, rlens - 1, res["ref_max_pos"]),
-        max_tb_steps, interpret)
+        max_tb_steps, interpret, safe=safe)
     return ({k: v for k, v in res.items() if k != "trace"}
-            | {"rec": rec, "q_steps_all": qsteps, "r_steps_all": rsteps})
+            | {"rec": rec, "q_steps_all": qsteps, "r_steps_all": rsteps,
+               "spill": spill})
 
 
 def align_and_traceback(qcodes, rcodes, qlens, rlens, start_end, params,
                         max_tb_steps, all_start_end=False, interpret=False):
     """One dispatch DP + sweep traceback; ops expanded on the host
-    (np.repeat over the run-length records — no per-op Python loop)."""
+    (np.repeat over the run-length records — no per-op Python loop).
+    Re-runs the safe while-based sweep when the fast kernel spills (a
+    multi-run column — exact gap-lane ties only)."""
     B0 = qcodes.shape[0]
-    out = align_and_traceback_device(
-        qcodes, rcodes, qlens, rlens, start_end, params, max_tb_steps,
-        all_start_end=all_start_end, interpret=interpret)
-    rec = out.pop("rec")                      # (RT, B)
-    qsteps = out.pop("q_steps_all")
-    rsteps = out.pop("r_steps_all")
+    res = batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
+                      with_trace=True, all_start_end=all_start_end,
+                      interpret=interpret)
+    tb_q = jnp.where(start_end, qlens - 1, res["query_max_pos"])
+    tb_r = jnp.where(start_end, rlens - 1, res["ref_max_pos"])
+    rec, qsteps, rsteps, spill = _tb_call(res["trace"], tb_q, tb_r,
+                                          max_tb_steps, interpret)
+    if bool(np.any(np.asarray(spill))):
+        rec, qsteps, rsteps, _ = _tb_call(res["trace"], tb_q, tb_r,
+                                          max_tb_steps, interpret, safe=True)
+    out = {k: v for k, v in res.items() if k != "trace"}
+    rec = np.asarray(rec)
     L = min(qcodes.shape[1] + rec.shape[0], 2 * max_tb_steps)
-    ops, n_ops = _expand_records(np.asarray(rec), B0, L)
+    ops, n_ops = _expand_records(rec, B0, L)
     return out | {"ops": ops, "n_ops": n_ops,
                   "q_steps": np.asarray(qsteps)[:B0],
                   "r_steps": np.asarray(rsteps)[:B0]}

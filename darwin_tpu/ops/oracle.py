@@ -70,6 +70,50 @@ OP_D = 2  # consumes one reference base (gap in query)
 OP_M = 3  # consumes one of each
 
 
+def gap_scan_windows(go, ge, goL, geL, q):
+    """(W_f, W_fl): per-lane lookback for the within-column gap prefix
+    maxima, as powers of two (q-clamped; q itself means a full scan).
+
+    A lane whose extension is strictly costlier than the other lane's is
+    dominated for gap runs longer than the crossover
+        L* = 1 + floor((open_self - open_other) / (ext_other - ext_self))
+    (ties INCLUDED at L*), so its prefix max only needs to look back
+    W = 2^ceil(log2(L*)) >= L* rows.  Every trace bit any traceback can
+    read is unchanged: a cell where the windowed lane attains (or ties) H
+    has an optimal run length <= L* (a longer one is strictly beaten by
+    the other, un-windowed lane there, contradicting fl <= h), and every
+    cell of the walked run chain — including the open-bit comparisons —
+    involves only runs <= L*, all inside the window.  Only the
+    *never-read* open bits at cells whose notional best run exceeds W can
+    differ from the full scan.  Valid only in the prefix-gaps domain
+    (open <= extend for both lanes); callers gate on that.
+    """
+    go, ge, goL, geL = int(go), int(ge), int(goL), int(geL)
+
+    def pow2ceil(x):
+        return 1 << max(1, (x - 1).bit_length())
+
+    wf = wfl = q
+    if geL > ge:          # short extension costlier: short lane windowed
+        lstar = 1 + max(0, (go - goL)) // (geL - ge)
+        wf = min(q, pow2ceil(max(2, lstar)))
+    elif ge > geL:        # long extension costlier: long lane windowed
+        lstar = 1 + max(0, (goL - go)) // (ge - geL)
+        wfl = min(q, pow2ceil(max(2, lstar)))
+    return wf, wfl
+
+
+def _np_windowed_max(a, w):
+    """Trailing-window (width w, power of two) inclusive max along axis 0
+    via log-shift steps; w >= len(a) = full prefix max."""
+    s = 1
+    while s < min(w, len(a)):
+        sh = np.concatenate([np.full(s, NEG_INF, a.dtype), a[:-s]])
+        a = np.maximum(a, sh)
+        s *= 2
+    return a
+
+
 def clean_align(query, ref, sub, gap_open, gap_extend,
                 long_gap_open, long_gap_extend, start_end):
     """Full-matrix DP with converged values.
@@ -93,6 +137,13 @@ def clean_align(query, ref, sub, gap_open, gap_extend,
     E = np.full(Q, go, np.int32)      # E used in column 0 (pvE init, :230)
     E_L = np.full(Q, goL, np.int32)
 
+    # prefix-gaps fast path (same windowed prefix-max formulation as the
+    # device kernels, gact._column_gaps_prefix / gap_scan_windows — keeps
+    # the three implementations' trace words bit-identical)
+    prefix_ok = go <= ge and goL <= geL
+    wf, wfl = gap_scan_windows(go, ge, goL, geL, Q)
+    q_idx = np.arange(Q, dtype=np.int32)
+
     best = 0
     end_ref = 0
     end_query = 0
@@ -103,21 +154,34 @@ def clean_align(query, ref, sub, gap_open, gap_extend,
         prof = sub[query, ref[r]]
         dag = np.maximum(np.concatenate(([0], H_prev[:-1])) + prof, 0)
         Hp = np.maximum(np.maximum(dag, E), E_L)
-        # coupled within-column F / F_L / H scan
-        H = np.empty(Q, np.int32)
-        F = np.empty(Q, np.int32)
-        F_L = np.empty(Q, np.int32)
-        f = NEG_INF
-        fl = NEG_INF
-        h_prev_row = 0  # H(-1, r)
-        for q in range(Q):
-            f = max(h_prev_row + go, f + ge)
-            fl = max(h_prev_row + goL, fl + geL)
-            h = max(Hp[q], f, fl)
-            F[q] = f
-            F_L[q] = fl
-            H[q] = h
-            h_prev_row = h
+        if prefix_ok:
+            # F(q) = go + ge*(q-1) + max_{j=-1..q-1}(Hp(j) - ge*j), the
+            # dominated lane windowed (values equal the coupled recurrence
+            # wherever any traceback can read them; see gap_scan_windows)
+            def lane(open_, ext, w):
+                a = np.concatenate(
+                    ([ext], (Hp[:Q - 1] - ext * q_idx[:Q - 1])
+                     .astype(np.int32)))
+                return open_ + ext * (q_idx - 1) + _np_windowed_max(a, w)
+            F = lane(go, ge, wf)
+            F_L = lane(goL, geL, wfl)
+            H = np.maximum(Hp, np.maximum(F, F_L))
+        else:
+            # generic scoring: coupled within-column F / F_L / H scan
+            H = np.empty(Q, np.int32)
+            F = np.empty(Q, np.int32)
+            F_L = np.empty(Q, np.int32)
+            f = NEG_INF
+            fl = NEG_INF
+            h_prev_row = 0  # H(-1, r)
+            for q in range(Q):
+                f = max(h_prev_row + go, f + ge)
+                fl = max(h_prev_row + goL, fl + geL)
+                h = max(Hp[q], f, fl)
+                F[q] = f
+                F_L[q] = fl
+                H[q] = h
+                h_prev_row = h
 
         # ---- trace words ----
         # T field: effective priority of the striped kernel's first-pass

@@ -74,7 +74,7 @@ def sharded_extend_tiles(mesh: Mesh, ref_codes, query_codes, r_start, r_size,
 
 @functools.cache
 def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
-                        axis: str = "data"):
+                        axis: str = "data", safe: bool = False):
     """shard_map'd Pallas extend-tile step: each device gathers and aligns
     its local slice of the tile batch with the Pallas kernel (Pallas calls
     don't partition automatically under pjit the way lax.scan does, so the
@@ -94,15 +94,16 @@ def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
             qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
             jnp.ones(r_start.shape, bool), params_static,
             True, True, False)
-        rec, qsteps, rsteps = gact_pallas._tb_call(
+        rec, qsteps, rsteps, spill = gact_pallas._tb_call(
             res.pop("trace"), q_size.astype(jnp.int32) - 1,
-            r_size.astype(jnp.int32) - 1, max_tb, False)
+            r_size.astype(jnp.int32) - 1, max_tb, False, safe=safe)
         return res | {"rec": rec, "q_steps_all": qsteps,
-                      "r_steps_all": rsteps}
+                      "r_steps_all": rsteps, "spill": spill}
 
     out_specs = {"score": spec_b, "query_max_pos": spec_b,
                  "ref_max_pos": spec_b, "rec": P_(None, axis),
-                 "q_steps_all": spec_b, "r_steps_all": spec_b}
+                 "q_steps_all": spec_b, "r_steps_all": spec_b,
+                 "spill": spec_b}
     return jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(spec_rep, spec_rep, spec_b, spec_b, spec_b, spec_b,
@@ -143,6 +144,13 @@ class MeshDispatcher:
                 max_tb)
             out = step(ref_codes, query_codes, r_start, r_size, q_start,
                        q_size, rev)
+            if bool(np.any(np.asarray(out["spill"]))):
+                step = _pallas_extend_step(
+                    self.mesh, gact_pallas._static_params(params), qt, rt,
+                    max_tb, safe=True)
+                out = step(ref_codes, query_codes, r_start, r_size,
+                           q_start, q_size, rev)
+            out.pop("spill")
             rec = out.pop("rec")
             qsteps = out.pop("q_steps_all")
             rsteps = out.pop("r_steps_all")
