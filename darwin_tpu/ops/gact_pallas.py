@@ -262,6 +262,256 @@ def _round_up(x, m):
 
 
 # ---------------------------------------------------------------------------
+# Large-tile strip kernel
+# ---------------------------------------------------------------------------
+#
+# The 1984x960 escalation tiles (software/extender.cpp:70-76) don't fit the
+# standard kernel's register budget (~20 live (QT,128) int32 values), which
+# previously forced pcol=1 and ~6x worse per-cell cost.  Instead the query
+# axis is split into strips of SQT=512 rows processed by a 3-D grid
+# (batch, strip, column-group): each strip sweeps all columns at full
+# pcol=8 efficiency, and the strip boundary state is carried per column in
+# VMEM scratch (never HBM):
+#   hb[r]   H at the strip's last row, column r       (next strip's dag /
+#           h_prev_roll row-0 fill)
+#   mf[r]   gap-scan prefix carry for the short lane  (window-tail when
+#           the lane is windowed — older terms are in the dominated-length
+#           never-read class, oracle.gap_scan_windows)
+#   mfl[r]  same for the long lane (accumulated when un-windowed)
+#   rawl[r] last row's F/F_L open-bit predicates      (next strip's trace
+#           row-0 shift fill)
+# Each strip reads a column's carry before overwriting it, so one buffer
+# per quantity serves all strips.  Strip mode requires all_start_end (the
+# production large-tile dispatch; max-cell tracking would need cross-strip
+# column maxima).
+
+def _dp_strip_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref,
+                     score_ref, qpos_ref, rpos_ref, trace_ref,
+                     e_ref, el_ref, ebits_ref, hroll_ref, hend_ref,
+                     hb_ref, mf_ref, mfl_ref, rawl_ref,
+                     *, SQT, n_strips, n_groups, pcol, sub, go, ge, goL,
+                     geL, wf, wfl, with_trace):
+    s = pl.program_id(1)
+    r = pl.program_id(2)
+    qio = jax.lax.broadcasted_iota(jnp.int32, (SQT, LANES), 0)
+    qoff = s * SQT
+
+    @pl.when(r == 0)
+    def _init_strip():
+        hroll_ref[:] = jnp.zeros((SQT, LANES), jnp.int32)
+        e_ref[:] = jnp.full((SQT, LANES), go, jnp.int32)
+        el_ref[:] = jnp.full((SQT, LANES), goL, jnp.int32)
+        ebits_ref[:] = jnp.full((SQT, LANES),
+                                gact.E_OPEN8 + gact.EL_OPEN8, jnp.int32)
+
+    @pl.when((s == 0) & (r == 0))
+    def _init_once():
+        hend_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+
+    qc = qT_ref[:].astype(jnp.int32)                     # (SQT, LANES)
+    rows = rT_ref[:].astype(jnp.int32)                   # (8, LANES)
+    qlen = qlen_ref[:]                                   # (1, LANES)
+    rlen = rlen_ref[:]
+    first = s == 0
+    arow = qio + qoff - 1                                # global j = q - 1
+    q_end = (qio + qoff) == qlen - 1
+    hend = hend_ref[:]
+
+    h_prev_roll = hroll_ref[:]
+    e = e_ref[:]
+    el = el_ref[:]
+    ebits = ebits_ref[:]
+
+    scol = []
+    for cc in range(5):
+        pv = jnp.full((SQT, LANES), int(sub[0][cc]), jnp.int32)
+        for qv in range(1, 5):
+            pv = jnp.where(qc == qv, int(sub[qv][cc]), pv)
+        scol.append(pv)
+
+    for c in range(pcol):
+        rr = r * pcol + c
+        rc = rows[c:c + 1]
+        prof = scol[0]
+        for cc in range(1, 5):
+            prof = jnp.where(rc == cc, scol[cc], prof)
+
+        dag = jnp.maximum(h_prev_roll + prof, 0)
+        hp = jnp.maximum(jnp.maximum(dag, e), el)
+
+        # gap scans with strip carries.  Local a-term k covers global
+        # t = qoff + k + 1, so C = cummax(a)[ql-1] plus the carried
+        # M(qoff) reproduces the full prefix (see _column_gaps_prefix).
+        def lane_scan(open_, ext, w, m_ref, windowed):
+            a = hp - ext * (qio + qoff)
+            cm = _cummax_sublanes(a, w)
+            m_in = jnp.where(first, jnp.int32(ext),
+                             m_ref[pl.ds(rr, 1)][0])     # M at strip top
+            val = open_ + ext * arow + jnp.maximum(
+                _shift_down(cm, 1, NEG16), m_in)
+            m_out = cm[SQT - 1:SQT]
+            if not windowed:
+                m_out = jnp.maximum(m_out, m_in)
+            m_ref[pl.ds(rr, 1)] = m_out
+            return val
+
+        f = lane_scan(go, ge, wf, mf_ref, wf < SQT)
+        fl = lane_scan(goL, geL, wfl, mfl_ref, wfl < SQT)
+        h = jnp.maximum(hp, jnp.maximum(f, fl))
+
+        hb_in = jnp.where(first, 0, hb_ref[pl.ds(rr, 1)][0])
+        hb_ref[pl.ds(rr, 1)] = h[SQT - 1:SQT]
+
+        if with_trace:
+            is_d = h == dag
+            is_f = h == f
+            is_fl = h == fl
+            is_el = h == el
+            dz = jnp.where(h == 0, gact.T8_ZERO, gact.T8_DIAG)
+            td = jnp.where(is_el, gact.T8_DEL_L,
+                           jnp.where(is_fl, gact.T8_INS_L, dz))
+            tn = jnp.where(is_f, gact.T8_INS,
+                           jnp.where(is_fl, gact.T8_INS_L,
+                                     jnp.where(is_el, gact.T8_DEL_L,
+                                               gact.T8_DEL)))
+            t = jnp.where(is_d, td, tn)
+            raw = (jnp.where(h + go > f + ge, gact.F_OPEN8, 0)
+                   + jnp.where(h + goL > fl + geL, gact.FL_OPEN8, 0))
+            raw_in = jnp.where(first,
+                               gact.F_OPEN8 + gact.FL_OPEN8,
+                               rawl_ref[pl.ds(rr, 1)][0])
+            rawl_ref[pl.ds(rr, 1)] = raw[SQT - 1:SQT]
+            word = t + ebits + jnp.where(
+                qio == 0, raw_in, _shift_down(raw, 1, 0))
+            trace_ref[c] = word.astype(jnp.uint8)
+
+        e_open = h + go
+        e_ext = e + ge
+        el_open = h + goL
+        el_ext = el + geL
+        if with_trace:
+            ebits = (jnp.where(e_open > e_ext, gact.E_OPEN8, 0)
+                     + jnp.where(el_open > el_ext, gact.EL_OPEN8, 0))
+        e = jnp.maximum(e_open, e_ext)
+        el = jnp.maximum(el_open, el_ext)
+        h_prev_roll = _shift_down(h, 1, 0)
+        h_prev_roll = jnp.where(qio == 0, hb_in, h_prev_roll)
+
+        q_in = (qlen - 1 >= qoff) & (qlen - 1 < qoff + SQT)
+        at_end = (rr == rlen - 1) & q_in
+        h_at_qend = jnp.max(jnp.where(q_end, h, NEG16),
+                            axis=0, keepdims=True)
+        hend = jnp.where(at_end, h_at_qend, hend)
+
+    e_ref[:] = e
+    el_ref[:] = el
+    if with_trace:
+        ebits_ref[:] = ebits
+    hroll_ref[:] = h_prev_roll
+    hend_ref[:] = hend
+
+    @pl.when((s == n_strips - 1) & (r == n_groups - 1))
+    def _fin():
+        score_ref[:] = hend
+        qpos_ref[:] = qlen - 1
+        rpos_ref[:] = rlen - 1
+
+
+@functools.partial(jax.jit, static_argnames=("params_static", "with_trace",
+                                             "interpret"))
+def _dp_call_strips(qcodes, rcodes, qlens, rlens, params_static,
+                    with_trace, interpret):
+    """Strip-mode DP for large (QT > 512) all-start_end tiles."""
+    sub, go, ge, goL, geL = params_static
+    B0, QT0 = qcodes.shape
+    RT0 = rcodes.shape[1]
+    SQT = 512
+    n_strips = -(-QT0 // SQT)
+    QT = n_strips * SQT
+    B = _round_up(B0, LANES)
+    pcol = 8
+    RT = _round_up(RT0, pcol)
+    if B != B0:
+        qcodes = jnp.pad(qcodes, ((0, B - B0), (0, 0)))
+        rcodes = jnp.pad(rcodes, ((0, B - B0), (0, 0)))
+        qlens = jnp.pad(qlens, (0, B - B0), constant_values=1)
+        rlens = jnp.pad(rlens, (0, B - B0), constant_values=1)
+    if QT != QT0:
+        qcodes = jnp.pad(qcodes, ((0, 0), (0, QT - QT0)))
+    if RT != RT0:
+        rcodes = jnp.pad(rcodes, ((0, 0), (0, RT - RT0)))
+    qT = qcodes.T
+    rT = rcodes.T
+    qlen2 = qlens.astype(jnp.int32)[None, :]
+    rlen2 = rlens.astype(jnp.int32)[None, :]
+    n_groups = RT // pcol
+    # strips carry the full prefix exactly; window only below strip height
+    wf, wfl = _orc.gap_scan_windows(go, ge, goL, geL, SQT)
+
+    kern = functools.partial(
+        _dp_strip_kernel, SQT=SQT, n_strips=n_strips, n_groups=n_groups,
+        pcol=pcol, sub=sub, go=go, ge=ge, goL=goL, geL=geL, wf=wf, wfl=wfl,
+        with_trace=with_trace)
+    row_spec = pl.BlockSpec((1, LANES), lambda b, s, r: (0, b),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+    ]
+    out_specs = [row_spec, row_spec, row_spec]
+    if with_trace:
+        out_shapes.append(jax.ShapeDtypeStruct((RT, QT, B), jnp.uint8))
+        out_specs.append(
+            pl.BlockSpec((pcol, SQT, LANES), lambda b, s, r: (r, s, b),
+                         memory_space=pltpu.VMEM))
+        body = kern
+    else:
+        def body(qT_ref, rT_ref, qlen_ref, rlen_ref,
+                 score_ref, qpos_ref, rpos_ref, *scratch):
+            return kern(qT_ref, rT_ref, qlen_ref, rlen_ref,
+                        score_ref, qpos_ref, rpos_ref, None, *scratch)
+
+    try:
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+    except TypeError:
+        cparams = None
+    out = pl.pallas_call(
+        body,
+        grid=(B // LANES, n_strips, n_groups),
+        in_specs=[
+            pl.BlockSpec((SQT, LANES), lambda b, s, r: (s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda b, s, r: (r, b),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((SQT, LANES), jnp.int32),   # e
+            pltpu.VMEM((SQT, LANES), jnp.int32),   # el
+            pltpu.VMEM((SQT, LANES), jnp.int32),   # ebits
+            pltpu.VMEM((SQT, LANES), jnp.int32),   # h rolled
+            pltpu.VMEM((1, LANES), jnp.int32),     # h_end
+            pltpu.VMEM((RT, LANES), jnp.int32),    # hb carry
+            pltpu.VMEM((RT, LANES), jnp.int32),    # mf carry
+            pltpu.VMEM((RT, LANES), jnp.int32),    # mfl carry
+            pltpu.VMEM((RT, LANES), jnp.int32),    # rawl carry
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(qT, rT, qlen2, rlen2)
+
+    score, qpos, rpos = out[0][0, :B0], out[1][0, :B0], out[2][0, :B0]
+    res = {"score": score, "query_max_pos": qpos, "ref_max_pos": rpos}
+    if with_trace:
+        res["trace"] = out[3]
+    return res
+
+
+# ---------------------------------------------------------------------------
 # Pallas traceback: backward column sweep
 # ---------------------------------------------------------------------------
 #
@@ -593,6 +843,10 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
     sub, go, ge, goL, geL = params_static
     B0, QT0 = qcodes.shape
     RT0 = rcodes.shape[1]
+    if QT0 > 512 and all_start_end:
+        # large-tile escalation geometry: full-efficiency strip kernel
+        return _dp_call_strips(qcodes, rcodes, qlens, rlens, params_static,
+                               with_trace, interpret)
     B = _round_up(B0, LANES)
     QT = _round_up(QT0, 32)
     pcol = _pick_pcol(QT)

@@ -106,3 +106,39 @@ def test_pallas_all_start_end_mode(rng):
         n = int(ref["n_ops"][b])
         np.testing.assert_array_equal(ops_ref[b, :n], ops_pal[b, :n],
                                       err_msg=f"tile {b}")
+
+
+def test_pallas_large_tile_strips(rng):
+    """Large-tile (QT > 512) strip kernel vs the lax reference: the strip
+    boundary carries (hb/mf/mfl/rawl) must reproduce the monolithic DP
+    bit-for-bit, including trace words and the full traceback."""
+    B, QT, RT = 8, 600, 32
+    qcodes, rcodes, qlens, rlens, _ = _make_batch(rng, B, QT, RT)
+    qlens = np.maximum(qlens, 520)  # reach into strip 2
+    se = np.ones(B, bool)
+    args = (jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
+            jnp.asarray(rlens), jnp.asarray(se), PARAMS)
+    ref = gact.batch_align(*args, with_trace=True, all_start_end=True)
+    pal = gact_pallas.batch_align(*args, with_trace=True,
+                                  all_start_end=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["score"]),
+                                  np.asarray(pal["score"]))
+    tr_ref = np.asarray(ref["trace"])     # (RT, B, QT)
+    tr_pal = np.asarray(pal["trace"])     # (RT, QTpad, Bpad)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            tr_ref[:rlens[b], b, :qlens[b]],
+            tr_pal[:rlens[b], :qlens[b], b], err_msg=f"tile {b}")
+
+    reft = gact.align_and_traceback(*args, 2 * QT, all_start_end=True)
+    palt = gact_pallas.align_and_traceback(*args, 2 * QT,
+                                           all_start_end=True,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(reft["n_ops"]),
+                                  np.asarray(palt["n_ops"]))
+    ops_ref = np.asarray(reft["ops"])
+    ops_pal = np.asarray(palt["ops"])
+    for b in range(B):
+        n = int(reft["n_ops"][b])
+        np.testing.assert_array_equal(ops_ref[b, :n], ops_pal[b, :n],
+                                      err_msg=f"tile {b}")
