@@ -49,6 +49,9 @@ class SeedTable:
     prefix_lut: jnp.ndarray | None = None
     lut_shift: int = 0
     lut_steps: int = 0
+    # memoized host copy of sorted_hashes for is_present (lazy)
+    _hashes_host: np.ndarray | None = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def num_seeds(self) -> int:
@@ -81,8 +84,12 @@ class SeedTable:
     def is_present(self, kmer_hash: int) -> bool:
         """Whether the bucket for this minimizer hash is usable: non-empty
         and within the occupancy cap (SeedPosTable::IsPresent,
-        software/seed_pos_table.h:537-569 / seed_pos_table.cpp:242-250)."""
-        h = np.asarray(self.sorted_hashes)
+        software/seed_pos_table.h:537-569 / seed_pos_table.cpp:242-250).
+        The host copy of the hash table is memoized so repeated queries are
+        O(log N) like the reference's, not an O(N) device fetch each."""
+        h = self._hashes_host
+        if h is None:
+            h = self._hashes_host = np.asarray(self.sorted_hashes)
         lo = int(np.searchsorted(h, kmer_hash, side="left"))
         hi = int(np.searchsorted(h, kmer_hash, side="right"))
         return 0 < hi - lo <= self.kmer_max_occurence

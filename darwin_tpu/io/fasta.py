@@ -23,22 +23,37 @@ def _open_maybe_gzip(path: str):
     return f
 
 
-def iter_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+def iter_fasta(path: str,
+               chunk_bytes: int = 1 << 26) -> Iterator[Tuple[str, np.ndarray]]:
     """Iterate (name, seq_bytes).  Supports FASTA ('>') and FASTQ ('@').
 
     Plain FASTA files go through the native C++ scanner when available
-    (native/darwin_native.cpp::fasta_scan); gzip/FASTQ use the Python path.
+    (native/darwin_native.cpp::fasta_scan), streamed in ``chunk_bytes``
+    pieces cut at record boundaries so memory stays bounded (the
+    reference's wrap-around read cursor analog, software/main.cpp:655-698);
+    gzip/FASTQ use the line-streaming Python path.
     """
     with open(path, "rb") as probe:
         head = probe.read(2)
     if head[:1] == b">":
         from darwin_tpu import native
-        with open(path, "rb") as f:
-            data = f.read()
-        res = native.fasta_scan_native(data)
-        if res is not None:
-            names, seqs = res
-            yield from zip(names, seqs)
+        if native.fasta_scan_native(b">x\nA\n") is not None:
+            with open(path, "rb") as f:
+                buf = b""
+                while True:
+                    data = f.read(chunk_bytes)
+                    if not data:
+                        break
+                    buf += data
+                    cut = buf.rfind(b"\n>")
+                    if cut == -1:
+                        continue
+                    part, buf = buf[:cut + 1], buf[cut + 1:]
+                    names, seqs = native.fasta_scan_native(part)
+                    yield from zip(names, seqs)
+                if buf:
+                    names, seqs = native.fasta_scan_native(buf)
+                    yield from zip(names, seqs)
             return
     with _open_maybe_gzip(path) as fh:
         reader = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
@@ -105,3 +120,37 @@ def load_reads(path: str, min_len: int = 64):
 
     return [make_read(name, seq) for name, seq in iter_fasta(path)
             if len(seq) > min_len]
+
+
+def count_reads(path: str, min_len: int = 64) -> int:
+    """Number of reads load_reads would yield — one cheap streaming pass
+    (used to shard the stream across hosts without materializing it)."""
+    return sum(1 for _, seq in iter_fasta(path) if len(seq) > min_len)
+
+
+def iter_read_batches(path: str, batch_size: int, min_len: int = 64,
+                      start: int | None = None, stop: int | None = None):
+    """Stream reads as ready-to-align batches with bounded memory: only
+    ``batch_size`` reads (plus their reverse complements) are materialized
+    at a time.  [start, stop) selects a read-index slice (multi-host
+    sharding); None means the whole stream."""
+    from darwin_tpu.genome import make_read
+
+    batch = []
+    idx = 0
+    for name, seq in iter_fasta(path):
+        if len(seq) <= min_len:
+            continue
+        keep = ((start is None or idx >= start)
+                and (stop is None or idx < stop))
+        idx += 1
+        if not keep:
+            if stop is not None and idx >= stop:
+                break
+            continue
+        batch.append(make_read(name, seq))
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch

@@ -36,6 +36,23 @@ def use_pallas() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def check_int16_packing(params, qt: int, rt: int, max_tb: int):
+    """The packed device->host result matrix is int16; verify the
+    configured geometry/scoring cannot overflow it (|score| bounded by the
+    largest |scoring value| times the path length, steps by 2*max_tb,
+    records by a 14-bit run count).  Exotic configs fail loudly here
+    instead of silently corrupting scores (params.cfg is user-supplied)."""
+    vals = [int(v) for row in np.asarray(params.sub) for v in row]
+    vals += [int(params.gap_open), int(params.gap_extend),
+             int(params.long_gap_open), int(params.long_gap_extend)]
+    bound = max(abs(v) for v in vals) * (qt + rt)
+    if bound >= 1 << 15 or 2 * max_tb >= 1 << 15 or qt + rt >= 1 << 14:
+        raise ValueError(
+            f"tile geometry ({qt}x{rt}, max_tb={max_tb}) with this scoring "
+            f"overflows the int16 packed result (|score| bound {bound}); "
+            "reduce tile_size or the scoring magnitudes")
+
+
 def _align_and_traceback(qtile, rtile, qlens, rlens, start_end, params,
                          max_tb, all_start_end):
     if use_pallas():
@@ -312,6 +329,7 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
     """
     B = int(np.asarray(r_start).shape[0])
     K = SPEC_K
+    check_int16_packing(params, qt, rt, max_tb)
     from darwin_tpu.ops import gact_pallas
     rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
             np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
@@ -423,6 +441,7 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
     B = int(np.asarray(r_start).shape[0])
     if use_pallas():
         from darwin_tpu.ops import gact_pallas
+        check_int16_packing(params, qt, rt, max_tb)
         req = _pack_requests(r_start, r_size, q_start, q_size, rev)
         packed_dev = _extend_round_pallas(
             ref_codes, query_codes, req,

@@ -82,17 +82,18 @@ def merge_shards(out_path: str, num_processes: int, delete: bool = True):
 
 
 def reduce_counters(counters: dict) -> dict:
-    """Global sums of the per-run work counters across processes (psum on
-    a replicated mesh); returns python ints."""
+    """Global sums of the per-run work counters across processes
+    (allgather on the replicated mesh + int64 host sum); returns python
+    ints."""
     import jax
-    import jax.numpy as jnp
+    import jax.experimental.multihost_utils as mhu
 
     if jax.process_count() == 1:
         return dict(counters)
     keys = sorted(counters)
-    local = jnp.asarray([counters[k] for k in keys], jnp.int64)
-    total = jax.experimental.multihost_utils.process_allgather(local)
-    summed = np.asarray(total).sum(axis=0)
+    local = np.asarray([counters[k] for k in keys], np.int32)
+    total = np.asarray(mhu.process_allgather(local), np.int64)
+    summed = total.sum(axis=0)
     return {k: int(v) for k, v in zip(keys, summed)}
 
 
@@ -101,41 +102,38 @@ def run_multihost(ref_path: str, reads_path: str, do_overlap: bool,
                   coordinator_address: str | None = None,
                   num_processes: int | None = None,
                   process_id: int | None = None,
-                  index_cache: str | None = None) -> None:
+                  index_cache: str | None = None) -> dict:
     """Full distributed run: shard reads across hosts, align locally,
-    merge shards on rank 0.  With num_processes=None/1 this degrades to
-    the single-process ``pipeline.align.run``."""
+    merge shards on rank 0 (+ allgathered global counters).  With
+    num_processes=None/1 this degrades to the single-process
+    ``pipeline.align.run``.  Returns this host's counter dict."""
     import sys
 
-    import jax
-
-    from darwin_tpu.io.fasta import load_reads
+    from darwin_tpu.io.fasta import count_reads
     from darwin_tpu.pipeline import align as align_mod
 
     err = err or sys.stderr
     pid, nproc = init(coordinator_address, num_processes, process_id)
 
-    reads = load_reads(reads_path)
-    start, stop = shard_reads(len(reads), pid, nproc)
+    n_reads = count_reads(reads_path)        # one cheap streaming pass
+    start, stop = shard_reads(n_reads, pid, nproc)
     print(f"[host {pid}/{nproc}] reads [{start}, {stop})", file=err)
 
-    # write this host's slice to a temp reads file and run the standard
-    # pipeline on it (the pipeline consumes a path; keeps one code path)
+    # each host streams its index slice of the ORIGINAL reads file
+    # (FASTA or FASTQ, bounded memory — no temp re-serialization)
     local_out = shard_path(out_path, pid) if nproc > 1 else out_path
-    import tempfile
-    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as tf:
-        for r in reads[start:stop]:
-            tf.write(f">{r.name}\n{r.seq.tobytes().decode()}\n")
-        local_reads = tf.name
-    try:
-        with open(local_out, "w") as out:
-            align_mod.run(ref_path, local_reads, do_overlap, cfg=cfg,
-                          out=out, err=err, index_cache=index_cache)
-    finally:
-        os.unlink(local_reads)
+    with open(local_out, "w") as out:
+        counters = align_mod.run(ref_path, reads_path, do_overlap, cfg=cfg,
+                                 out=out, err=err, index_cache=index_cache,
+                                 reads_range=(start, stop))
 
     if nproc > 1:
         import jax.experimental.multihost_utils as mh
+        total = reduce_counters(counters)
         mh.sync_global_devices("darwin_tpu_output_shards")
         if pid == 0:
             merge_shards(out_path, nproc)
+            print("global counters: "
+                  + " ".join(f"{k}={total[k]}" for k in sorted(total)),
+                  file=err)
+    return counters

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from darwin_tpu.config import Config
 from darwin_tpu.genome import GenomeStore, Read, encode5
 from darwin_tpu.index.seed_table import SeedTable, build_seed_table
-from darwin_tpu.io.fasta import load_genome, load_reads
+from darwin_tpu.io.fasta import iter_read_batches, load_genome
 from darwin_tpu.ops import gact
 from darwin_tpu.ops.dispatch import first_tile_scores
 from darwin_tpu.ops.dispatch import pad_batch as _pad_batch
@@ -43,6 +43,13 @@ def new_counters():
 
 
 class Aligner:
+    """Thread-sharing contract: ``run(pipeline_depth>1)`` calls
+    ``align_batch`` from two pool threads sharing one Aligner (and its
+    Seeder).  Per-batch state must stay in the per-call ``counters`` dict;
+    the shared mutables are limited to monotone capacity bumps
+    (Seeder.hit_cap/a_cap — racing writes only cost one extra retry) and
+    the idempotent one-time ``_ref_codes_dev`` upload."""
+
     def __init__(self, cfg: Config, store: GenomeStore,
                  table: SeedTable | None = None, mesh=None):
         """mesh: optional jax.sharding.Mesh — tile batches shard across it
@@ -195,13 +202,18 @@ def enable_compile_cache():
 def run(ref_path: str, reads_path: str, do_overlap: bool,
         cfg: Config | None = None, out=None, err=None,
         reads_per_batch: int = 128, index_cache: str | None = None,
-        pipeline_depth: int = 2) -> None:
+        pipeline_depth: int = 2,
+        reads_range: tuple[int, int] | None = None) -> dict:
     """pipeline_depth: read batches in flight (the TPU analog of the
     reference's token-throttled TBB flow graph, software/main.cpp:607-624);
     batch i+1's device dispatches overlap batch i's host-side decode and
     printing.  Output order and counters are deterministic — results are
     collected in submission order and per-batch counters are merged on
-    collection."""
+    collection.
+
+    Reads are streamed in bounded batches (io.fasta.iter_read_batches);
+    reads_range=(start, stop) aligns only that index slice of the stream
+    (multi-host sharding).  Returns the counter dict."""
     enable_compile_cache()
     out = out or sys.stdout
     err = err or sys.stderr
@@ -235,16 +247,16 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
 
     print("Aligning reads ...", file=err)
     t0 = time.time()
-    reads = load_reads(reads_path)
+    start, stop = reads_range if reads_range is not None else (None, None)
+    batches = iter_read_batches(reads_path, reads_per_batch,
+                                start=start, stop=stop)
     header_done = False
 
     def merge(dst, src):
         for k, v in src.items():
             dst[k] += v
 
-    batches = [reads[b:b + reads_per_batch]
-               for b in range(0, len(reads), reads_per_batch)]
-    if pipeline_depth > 1 and len(batches) > 1:
+    if pipeline_depth > 1:
         from concurrent.futures import ThreadPoolExecutor
         from collections import deque
         with ThreadPoolExecutor(max_workers=pipeline_depth) as pool:
@@ -285,3 +297,4 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     print(f"#large tiles: {c['num_large_tiles']}", file=err)
     print(f"Time elapsed (aligning reads): "
           f"{int((time.time() - t0) * 1000)} msec", file=err)
+    return c

@@ -63,10 +63,12 @@ class Seeder:
         pcap = lcap - cfg.seed_size + 1
         mq_cap = mq_cap_for(pcap, cfg.num_seeds, cfg.max_stride,
                             cfg.do_overlap)
-        # flat hit buffer: start optimistic and retry on overflow (the
-        # lossless worst case mq_cap*max_occ is ~100x what real reads use,
-        # and the buffer width drives both the gather and the hit sort)
-        hit_cap = min(self.hit_cap, mq_cap * self.max_occ)
+        # flat hit / anchor buffers: start optimistic and retry on overflow
+        # (the lossless worst case mq_cap*max_occ is ~100x what real reads
+        # use, and the buffer widths drive the gather and the hit sort)
+        ceil_cap = mq_cap * self.max_occ
+        hit_cap = min(self.hit_cap, ceil_cap)
+        a_cap = min(self.a_cap, ceil_cap)
         while True:
             res_dev = dsoft_device(
                 jnp.asarray(codes2), jnp.asarray(lengths),
@@ -75,7 +77,7 @@ class Seeder:
                 num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
                 overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
                 bin_size=cfg.bin_size, max_occ=self.max_occ,
-                mq_cap=mq_cap, a_cap=min(self.a_cap, mq_cap * self.max_occ),
+                mq_cap=mq_cap, a_cap=a_cap,
                 hit_cap=hit_cap, lut=self.table.prefix_lut,
                 lut_shift=self.table.lut_shift,
                 lut_steps=self.table.lut_steps)
@@ -85,12 +87,18 @@ class Seeder:
                 [res_dev["n_hits"], res_dev["n_anchors"],
                  res_dev["n_anchors_raw"], res_dev["n_queried_buckets"],
                  res_dev["n_flat_raw"]]))
-            need = int(counts[4].max())
-            if need <= hit_cap or hit_cap >= mq_cap * self.max_occ:
+            need_h = int(counts[4].max())
+            need_a = int(counts[2].max())
+            ok_h = need_h <= hit_cap or hit_cap >= ceil_cap
+            ok_a = need_a <= a_cap or a_cap >= ceil_cap
+            if ok_h and ok_a:
                 break
-            hit_cap = min(_round_up_pow2(need, hit_cap * 2),
-                          mq_cap * self.max_occ)
-            self.hit_cap = hit_cap        # remember for later batches
+            if not ok_h:
+                hit_cap = min(_round_up_pow2(need_h, hit_cap * 2), ceil_cap)
+                self.hit_cap = hit_cap    # remember for later batches
+            if not ok_a:
+                a_cap = min(_round_up_pow2(need_a, a_cap * 2), ceil_cap)
+                self.a_cap = a_cap
         res = {"n_hits": counts[0], "n_anchors": counts[1],
                "n_anchors_raw": counts[2], "n_queried_buckets": counts[3]}
         mh = _round_up_pow2(max(int(counts[0].max()), 1), 512)
@@ -106,10 +114,9 @@ class Seeder:
         res["hits_bin"], res["hits_off"], res["hits_pos"] = ph
         res["anc_pos"], res["anc_off"], res["anc_bin"] = pa
 
-        if (res["n_anchors_raw"] > self.a_cap).any():
-            raise RuntimeError(
-                f"anchor capacity {self.a_cap} exceeded "
-                f"(max {int(res['n_anchors_raw'].max())}); raise a_cap")
+        # unreachable after the retry loop (a_cap grows to the lossless
+        # ceiling mq_cap*max_occ, which n_anchors_raw cannot exceed)
+        assert not (res["n_anchors_raw"] > a_cap).any(), "anchor overflow"
 
         fw, rc = [], []
         for i in range(len(reads)):
