@@ -36,6 +36,14 @@ def use_pallas() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def use_pallas_for(params) -> bool:
+    """Backend selection for a concrete scoring: the Pallas kernels cover
+    the prefix-gaps domain (open <= extend); anything else — the reference
+    accepts arbitrary scorings, software/Processor.cpp:48-80 — runs the
+    lax kernel's generic max-plus gap scan."""
+    return use_pallas() and gact.prefix_ok(params)
+
+
 def check_int16_packing(params, qt: int, rt: int, max_tb: int):
     """The packed device->host result matrix is int16; verify the
     configured geometry/scoring cannot overflow it (|score| bounded by the
@@ -55,7 +63,7 @@ def check_int16_packing(params, qt: int, rt: int, max_tb: int):
 
 def _align_and_traceback(qtile, rtile, qlens, rlens, start_end, params,
                          max_tb, all_start_end):
-    if use_pallas():
+    if use_pallas_for(params):
         from darwin_tpu.ops import gact_pallas
         return gact_pallas.align_and_traceback(
             qtile, rtile, qlens, rlens, start_end, params, max_tb,
@@ -66,7 +74,7 @@ def _align_and_traceback(qtile, rtile, qlens, rlens, start_end, params,
 
 
 def _batch_align_scores(qtile, rtile, qlens, rlens, start_end, params):
-    if use_pallas():
+    if use_pallas_for(params):
         from darwin_tpu.ops import gact_pallas
         return gact_pallas.batch_align(qtile, rtile, qlens, rlens,
                                        start_end, params, with_trace=False)
@@ -400,7 +408,7 @@ def first_tile_scores(ref_codes, query_codes, r_start, r_size, q_start,
                       q_size, params, qt: int, rt: int):
     """Filter-stage dispatch: max-cell scores + positions, no traceback
     (software/filter.cpp:40,71: do_traceback=0, align_fields max-mode)."""
-    if use_pallas():
+    if use_pallas_for(params):
         from darwin_tpu.ops import gact_pallas
         req = _pack_requests(r_start, r_size, q_start, q_size)
         packed = _first_tiles_pallas(
@@ -439,7 +447,7 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
     records + stats; everything in between is a single compiled program.
     """
     B = int(np.asarray(r_start).shape[0])
-    if use_pallas():
+    if use_pallas_for(params):
         from darwin_tpu.ops import gact_pallas
         check_int16_packing(params, qt, rt, max_tb)
         req = _pack_requests(r_start, r_size, q_start, q_size, rev)

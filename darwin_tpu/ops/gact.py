@@ -80,12 +80,21 @@ class GactParams(NamedTuple):
     long_gap_extend: jax.Array
 
 
+def prefix_ok(params) -> bool:
+    """Whether the scoring admits the prefix-max gap scan (opening never
+    cheaper than extending, both lanes).  Scorings outside this domain
+    (the reference accepts any, software/Processor.cpp:48-80) route
+    through the generic max-plus scan on the lax kernel.  Returns True
+    for traced params (jit callers are production paths, which are gated
+    at dispatch level on concrete values)."""
+    try:
+        return (int(params.gap_open) <= int(params.gap_extend)
+                and int(params.long_gap_open) <= int(params.long_gap_extend))
+    except Exception:
+        return True
+
+
 def make_params(cfg) -> GactParams:
-    if not (cfg.gap_open <= cfg.gap_extend
-            and cfg.long_gap_open <= cfg.long_gap_extend):
-        raise NotImplementedError(
-            "scoring with gap_open > gap_extend needs the generic gap scan; "
-            "call batch_align(..., prefix_gaps=False)")
     return GactParams(
         sub=jnp.asarray(cfg.sub_matrix_5x5, jnp.int32),
         gap_open=jnp.int32(cfg.gap_open),
@@ -214,6 +223,10 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
     layout above).
     """
     QT = qcodes.shape[1]
+    if prefix_gaps:
+        # scorings with opening cheaper than extending invalidate the
+        # prefix-max formulation — auto-route to the generic max-plus scan
+        prefix_gaps = prefix_ok(params)
     try:
         wins = orc.gap_scan_windows(
             params.gap_open, params.gap_extend, params.long_gap_open,

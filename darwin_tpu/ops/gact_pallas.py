@@ -939,6 +939,12 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
 
 def _static_params(params: gact.GactParams):
     sub = tuple(tuple(int(v) for v in row) for row in np.asarray(params.sub))
+    if not (int(params.gap_open) <= int(params.gap_extend)
+            and int(params.long_gap_open) <= int(params.long_gap_extend)):
+        raise ValueError(
+            "the Pallas kernels implement the prefix-max gap scan, which "
+            "requires open <= extend on both gap lanes; dispatch routes "
+            "such scorings through the lax kernel (gact.prefix_ok)")
     return (sub, int(params.gap_open), int(params.gap_extend),
             int(params.long_gap_open), int(params.long_gap_extend))
 

@@ -28,7 +28,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from darwin_tpu.ops import gact
-from darwin_tpu.ops.dispatch import gather_tiles, use_pallas
+from darwin_tpu.ops.dispatch import (gather_tiles, use_pallas,
+                                     use_pallas_for)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -137,7 +138,7 @@ class MeshDispatcher:
         B = int(r_start.shape[0])
         (r_start, r_size, q_start, q_size, rev) = self._shard(
             r_start, r_size, q_start, q_size, rev)
-        if use_pallas():
+        if use_pallas_for(params):
             from darwin_tpu.ops import gact_pallas
             step = _pallas_extend_step(
                 self.mesh, gact_pallas._static_params(params), qt, rt,

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from darwin_tpu.ops import oracle as orc
 from darwin_tpu.ops.dispatch import (extend_tiles, extend_tiles_async,
-                                     extend_tiles_spec_async, use_pallas)
+                                     extend_tiles_spec_async, use_pallas,
+                                     use_pallas_for)
 from darwin_tpu.ops.dispatch import pad_batch as _pad_batch
 from darwin_tpu.pipeline.filter import ExtendLocation
 
@@ -540,7 +541,7 @@ class ExtensionManager:
 
         import os
         T = cfg.tile_size
-        spec_ok = (use_pallas() and not self.mesh
+        spec_ok = (use_pallas_for(self.params) and not self.mesh
                    and not os.environ.get("DARWIN_TPU_NO_SPEC"))
         cached_req = {}    # ei -> request computed during failed speculation
         while live:

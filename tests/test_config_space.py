@@ -57,12 +57,37 @@ def test_custom_scoring_matches_oracle(rng, idx):
         assert list(np.asarray(pal_res["ops"])[b, :n]) == ref["ops"], (idx, b)
 
 
-def test_open_heavier_than_extend_rejected():
-    """gap_open > gap_extend invalidates the prefix-max gap scan; both
-    kernels must refuse rather than silently miscompute (the generic
-    max-plus scan path is available via gact.batch_align(prefix_gaps=False)
-    for such scorings)."""
+def test_open_cheaper_than_extend_generic_path(rng):
+    """gap_open > gap_extend invalidates the prefix-max gap scan; such
+    scorings (the reference accepts any, software/Processor.cpp:48-80) are
+    routed through the lax kernel's generic max-plus scan end-to-end
+    (dispatch.use_pallas_for) and must match the oracle's coupled
+    recurrence exactly."""
     cfg = Config()
     cfg.gap_open, cfg.gap_extend = -1, -5
-    with pytest.raises(NotImplementedError):
-        gact.make_params(cfg)
+    cfg.long_gap_open, cfg.long_gap_extend = -3, -9
+    params = gact.make_params(cfg)
+    assert not gact.prefix_ok(params)
+    from darwin_tpu.ops.dispatch import use_pallas_for
+    assert not use_pallas_for(params)
+    SUB = np.array(cfg.sub_matrix_5x5, np.int32)
+
+    B, QT, RT = 8, 48, 56
+    qcodes, rcodes, qlens, rlens, start_end = _make_batch(rng, B, QT, RT)
+    args = (jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
+            jnp.asarray(rlens), jnp.asarray(start_end), params)
+    res = gact.align_and_traceback(*args, 2 * QT)
+    for b in range(B):
+        ref = orc.align_with_traceback(
+            qcodes[b, :qlens[b]], rcodes[b, :rlens[b]], SUB,
+            cfg.gap_open, cfg.gap_extend, cfg.long_gap_open,
+            cfg.long_gap_extend, bool(start_end[b]), 2 * QT)
+        assert int(res["score"][b]) == ref["score"], b
+        n = int(res["n_ops"][b])
+        assert n == len(ref["ops"]), b
+        assert list(np.asarray(res["ops"])[b, :n]) == ref["ops"], b
+
+    # the Pallas kernels must refuse (prefix-scan only) rather than
+    # silently miscompute
+    with pytest.raises(ValueError):
+        gact_pallas._static_params(params)

@@ -171,3 +171,38 @@ def test_alignment_score_matches_literal(rng):
             np.frombuffer(ref.encode(), np.uint8),
             np.frombuffer(q.encode(), np.uint8), cfg)
         assert got == _alignment_score_literal(ref, q, cfg), (ref, q)
+
+
+def test_large_tile_escalation(small_world):
+    """A read spanning a deletion wider than a standard 384 tile must
+    escalate to the 1984x960 large-tile geometry (extender.cpp:353-394)
+    and still produce the correct locus and a deletion-bearing CIGAR.
+    Locks the trickiest branch of the extension state machine, previously
+    only covered if a golden run wandered into it."""
+    cfg = pipeline_cfg()
+    store = small_world
+    chrom = store.chromosomes[0]
+    start = 5000
+    left, dele, right = 2000, 1200, 2000
+    s0 = int(chrom.start) + start
+    seq = np.concatenate([
+        store.bases[s0:s0 + left],
+        store.bases[s0 + left + dele:s0 + left + dele + right]])
+    reads = [make_read("sv_read", seq)]
+    aligner = Aligner(cfg, store)
+    lines = aligner.align_batch(reads)
+    c = aligner.counters
+    assert c["num_large_tiles"] > 0, c
+    body = [ln for ln in lines if not ln.startswith("@")]
+    assert len(body) >= 1
+    f = body[0].split("\t")
+    assert f[2] == chrom.name
+    assert abs(int(f[3]) - (start + 1)) <= 16, f[3]
+    cigar = f[5]
+    import re
+    # the gap may be split across the tile boundary (e.g. 768D 1M 432D) —
+    # inherent to tiled crossing; the total deleted span must match
+    dels = [int(x) for x in re.findall(r"(\d+)D", cigar)]
+    assert dels and sum(dels) >= dele - 64, cigar
+    matches = sum(int(x) for x in re.findall(r"(\d+)M", cigar))
+    assert matches >= left + right - 64, cigar

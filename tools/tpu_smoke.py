@@ -1,0 +1,90 @@
+"""Real-TPU Mosaic smoke gate: compile + run the Pallas DP and traceback
+kernels on representative shapes and compare bit-for-bit against the lax
+reference implementation.  Catches Mosaic lowering regressions without a
+full benchmark run.  Prints one JSON line; exit 0 = pass.
+
+Shapes: filter tile (128, max-cell, no trace), extend tile (384,
+start_end, trace + traceback), large escalation tile (strip kernel).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from darwin_tpu.config import Config
+    from darwin_tpu.ops import gact, gact_pallas as kp
+    from darwin_tpu.pipeline.align import enable_compile_cache
+
+    enable_compile_cache()
+    platform = jax.devices()[0].platform
+    cfg = Config()
+    params = gact.make_params(cfg)
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def make(B, QT, RT):
+        r = rng.integers(0, 4, size=(B, RT)).astype(np.uint8)
+        q = np.full((B, QT), 4, np.uint8)
+        n = min(QT, RT)
+        q[:, :n] = r[:, :n]
+        flip = rng.random((B, QT)) < 0.12
+        q[flip] = (q[flip] + 1) % 4
+        qlens = rng.integers(max(1, QT // 2), QT + 1, B).astype(np.int32)
+        rlens = rng.integers(max(1, RT // 2), RT + 1, B).astype(np.int32)
+        return (jnp.asarray(q), jnp.asarray(r), jnp.asarray(qlens),
+                jnp.asarray(rlens))
+
+    def check(name, ok):
+        if not ok:
+            failures.append(name)
+
+    # 1. filter shape: max-cell, no trace
+    q, r, ql, rl = make(32, 128, 128)
+    se = jnp.zeros(32, bool)
+    ref = gact.batch_align(q, r, ql, rl, se, params, with_trace=False)
+    pal = kp.batch_align(q, r, ql, rl, se, params, with_trace=False)
+    for k in ("score", "query_max_pos", "ref_max_pos"):
+        check(f"filter:{k}",
+              np.array_equal(np.asarray(ref[k]), np.asarray(pal[k])))
+
+    # 2. extend shape: start_end + full traceback
+    q, r, ql, rl = make(32, 384, 384)
+    se = jnp.ones(32, bool)
+    ref = gact.align_and_traceback(q, r, ql, rl, se, params, 768,
+                                   all_start_end=True)
+    pal = kp.align_and_traceback(q, r, ql, rl, se, params, 768,
+                                 all_start_end=True)
+    check("extend:score", np.array_equal(np.asarray(ref["score"]),
+                                         np.asarray(pal["score"])))
+    check("extend:n_ops", np.array_equal(np.asarray(ref["n_ops"]),
+                                         np.asarray(pal["n_ops"])))
+    ops_ok = all(
+        np.array_equal(np.asarray(ref["ops"])[b, :int(ref["n_ops"][b])],
+                       np.asarray(pal["ops"])[b, :int(ref["n_ops"][b])])
+        for b in range(32))
+    check("extend:ops", ops_ok)
+
+    # 3. large escalation tile: strip kernel
+    q, r, ql, rl = make(8, 1984, 960)
+    se = jnp.ones(8, bool)
+    ref = gact.align_and_traceback(q, r, ql, rl, se, params, 2 * 1984,
+                                   all_start_end=True)
+    pal = kp.align_and_traceback(q, r, ql, rl, se, params, 2 * 1984,
+                                 all_start_end=True)
+    check("large:score", np.array_equal(np.asarray(ref["score"]),
+                                        np.asarray(pal["score"])))
+    check("large:n_ops", np.array_equal(np.asarray(ref["n_ops"]),
+                                        np.asarray(pal["n_ops"])))
+
+    print(json.dumps({"platform": platform, "ok": not failures,
+                      "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
