@@ -353,13 +353,26 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
     r_start64 = rows[0]
     q_start64 = rows[2]
 
+    def rerun_safe():
+        return _extend_round_spec_pallas(
+            ref_codes, query_codes, req,
+            gact_pallas._static_params(params), qt, rt, max_tb,
+            stop_thr, K, safe=True)
+
+    return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt, max_tb,
+                               r_start64, q_start64)
+
+
+def _make_spec_resolver(packed_dev, rerun_safe, B, K, qt, max_tb,
+                        r_start64, q_start64):
+    """Shared resolve() for the speculative packed result (single-device
+    and mesh paths)."""
+    from darwin_tpu.ops import gact_pallas
+
     def resolve():
         packed = np.asarray(packed_dev)
         if packed[-1].any():  # fast-sweep spill: rerun with safe kernel
-            packed = np.asarray(_extend_round_spec_pallas(
-                ref_codes, query_codes, req,
-                gact_pallas._static_params(params), qt, rt, max_tb,
-                stop_thr, K, safe=True))
+            packed = np.asarray(rerun_safe())
         nrows = packed.shape[0]
         RTp = (nrows - 6 - 4 * (K - 1)) // K
         L = min(qt + RTp, 2 * max_tb)

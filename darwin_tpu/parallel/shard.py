@@ -112,6 +112,28 @@ def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
         out_specs=out_specs, check_rep=False))
 
 
+@functools.cache
+def _pallas_spec_step(mesh: Mesh, params_static, qt, rt, max_tb, stop_thr,
+                      K, axis: str = "data", safe: bool = False):
+    """shard_map'd speculative K-tile extension round: each device runs
+    the full chained-tile program on its local slice of the request batch
+    — per-device speculation needs no communication, so the mesh path
+    keeps the round-trip-amortizing chain the single-chip path has."""
+    from jax.experimental.shard_map import shard_map
+    from darwin_tpu.ops.dispatch import _extend_round_spec_pallas
+
+    spec_cols = P(None, axis)
+
+    def step(refc, qc, req):
+        return _extend_round_spec_pallas(refc, qc, req, params_static,
+                                         qt, rt, max_tb, stop_thr, K,
+                                         safe=safe)
+
+    return jax.jit(shard_map(
+        step, mesh=mesh, in_specs=(P(), P(), spec_cols),
+        out_specs=spec_cols, check_rep=False))
+
+
 class MeshDispatcher:
     """Pipeline-facing dispatcher: replicates resident sequence buffers once
     and shards every per-round tile batch over the mesh.  Drop-in for the
@@ -162,6 +184,39 @@ class MeshDispatcher:
                           "r_steps": np.asarray(rsteps)[:B]}
         return _extend_step(ref_codes, query_codes, r_start, r_size,
                             q_start, q_size, rev, params, qt, rt, max_tb)
+
+    def extend_tiles_spec_async(self, ref_codes, query_codes, r_start,
+                                r_size, q_start, q_size, rev, chrom_start,
+                                chrom_len, q_buf_start, q_len, params, *,
+                                qt, rt, max_tb, stop_thr):
+        """Speculative K-tile extension round over the mesh; same contract
+        as ops.dispatch.extend_tiles_spec_async."""
+        from darwin_tpu.ops import gact_pallas
+        from darwin_tpu.ops.dispatch import (SPEC_K, _make_spec_resolver,
+                                             check_int16_packing)
+        check_int16_packing(params, qt, rt, max_tb)
+        B = int(np.asarray(r_start).shape[0])
+        K = SPEC_K
+        rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
+                np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
+                np.asarray(rev).astype(np.int64),
+                np.asarray(chrom_start, np.int64),
+                np.asarray(chrom_len, np.int64),
+                np.asarray(q_buf_start, np.int64),
+                np.asarray(q_len, np.int64)]
+        req = jax.device_put(np.stack(rows),
+                             NamedSharding(self.mesh, P(None, "data")))
+        ps = gact_pallas._static_params(params)
+        step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb, stop_thr, K)
+        packed_dev = step(ref_codes, query_codes, req)
+
+        def rerun_safe():
+            safe_step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb,
+                                          stop_thr, K, safe=True)
+            return safe_step(ref_codes, query_codes, req)
+
+        return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt,
+                                   max_tb, rows[0], rows[2])
 
     def first_tile_scores(self, ref_codes, query_codes, r_start, r_size,
                           q_start, q_size, params, *, qt, rt):

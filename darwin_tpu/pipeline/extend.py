@@ -541,7 +541,7 @@ class ExtensionManager:
 
         import os
         T = cfg.tile_size
-        spec_ok = (use_pallas_for(self.params) and not self.mesh
+        spec_ok = (use_pallas_for(self.params)
                    and not os.environ.get("DARWIN_TPU_NO_SPEC"))
         cached_req = {}    # ei -> request computed during failed speculation
         while live:
@@ -583,6 +583,15 @@ class ExtensionManager:
                     qbuf0[b] = e.q_code_start
                     qlen[b] = e.q_len
                 if self.mesh:
+                    if spec_ok and (rt, qt) == (T, T):
+                        # per-device speculative chains (no communication)
+                        resolve = self.mesh.extend_tiles_spec_async(
+                            refc, self.q_codes_dev, r_start, r_size,
+                            q_start, q_size, rev, cstart, clen, qbuf0,
+                            qlen, self.params, qt=qt, rt=rt, max_tb=2 * T,
+                            stop_thr=min(rt, qt) - cfg.tile_overlap)
+                        rounds.append((items, resolve, rev))
+                        continue
                     res = self.mesh.extend_tiles(
                         refc, self.q_codes_dev, r_start, r_size, q_start,
                         q_size, rev, self.params,

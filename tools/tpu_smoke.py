@@ -81,6 +81,28 @@ def main():
     check("large:n_ops", np.array_equal(np.asarray(ref["n_ops"]),
                                         np.asarray(pal["n_ops"])))
 
+    # 4. mesh path (1-device mesh on the real chip): full pipeline through
+    # the shard_map'd Pallas kernels incl. per-device speculation must be
+    # byte-identical to the direct dispatch path
+    from darwin_tpu.genome import GenomeStore, make_read
+    from darwin_tpu.parallel.shard import make_mesh
+    from darwin_tpu.pipeline.align import Aligner
+    from darwin_tpu.utils.simulate import simulate_reads
+    cfg2 = Config()
+    cfg2.seed_size = 10
+    cfg2.dsoft_threshold = 20
+    cfg2.min_overlap = 400
+    store = GenomeStore()
+    store.add_chromosome(
+        "chrA", rng.choice(list(b"ACGT"), size=60000).astype(np.uint8))
+    store.finalize()
+    sim = simulate_reads(store, 8, 3000, seed=2)
+    reads = [make_read(n, s) for n, s, _ in sim]
+    single = Aligner(cfg2, store).align_batch(reads)
+    meshed = Aligner(cfg2, store, mesh=make_mesh(1)).align_batch(reads)
+    check("mesh:identical", single == meshed)
+    check("mesh:nonempty", len(single) >= 4)
+
     print(json.dumps({"platform": platform, "ok": not failures,
                       "failures": failures}))
     return 1 if failures else 0
