@@ -51,14 +51,18 @@ class Aligner:
     the idempotent one-time ``_ref_codes_dev`` upload."""
 
     def __init__(self, cfg: Config, store: GenomeStore,
-                 table: SeedTable | None = None, mesh=None):
+                 table: SeedTable | None = None, mesh=None,
+                 shard_index: bool = False):
         """mesh: optional jax.sharding.Mesh — tile batches shard across it
         (genome/read buffers replicated, zero hot-loop communication;
-        parallel/shard.py)."""
+        parallel/shard.py).  shard_index additionally shards the seed
+        table by hash range over the same mesh (for tables beyond one
+        device's HBM; parallel/shard_index.py) — bit-identical output."""
         self.cfg = cfg
         self.store = store
         self.table = table or build_seed_table(store, cfg)
-        self.seeder = Seeder(self.table, cfg)
+        self.seeder = Seeder(self.table, cfg,
+                             mesh=mesh if shard_index else None)
         self.params = gact.make_params(cfg)
         self.counters = new_counters()
         self._ref_codes = None

@@ -79,37 +79,6 @@ def _queried_minimizers(codes2, lengths, k, w, num_seeds, max_stride,
     return offs, qhash, slot_ok
 
 
-def _bucket_hits(sorted_hashes, positions, offs, qhash, cnt_global,
-                 slot_ok, max_occ, bin_size):
-    """Gather hits for the queried buckets from one (possibly hash-range
-    sharded) slice of the seed table.  cnt_global is the occupancy over the
-    WHOLE table (equals the local count when unsharded).  Returns flattened
-    (bins, offsets, positions, ok) of shape (B, mq_cap*max_occ)."""
-    B, mq = offs.shape
-    start = jnp.searchsorted(sorted_hashes, qhash,
-                             side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_hashes, qhash,
-                           side="right").astype(jnp.int32)
-    cnt = end - start
-    bucket_ok = slot_ok & (cnt_global <= max_occ)
-
-    n = positions.shape[0]
-    t = jnp.arange(max_occ, dtype=jnp.int32)
-    gidx = jnp.clip(start[:, :, None] + t[None, None, :], 0, max(n - 1, 0))
-    pos = jnp.take(positions, gidx).astype(jnp.int32)      # (B, mq, occ)
-    hit_ok = (bucket_ok[:, :, None]
-              & (t[None, None, :] < cnt[:, :, None])
-              & (pos >= offs[:, :, None]))
-    bins = jnp.where(hit_ok, (pos - offs[:, :, None]) // bin_size, I32MAX)
-
-    H = mq * max_occ
-    binf = bins.reshape(B, H)
-    offf = jnp.broadcast_to(offs[:, :, None], bins.shape).reshape(B, H)
-    posf = pos.reshape(B, H)
-    okf = hit_ok.reshape(B, H).astype(jnp.int32)
-    return binf, offf, posf, okf, bucket_ok
-
-
 def _ranged_search(h, q, lo, hi, steps: int, side: str):
     """Vectorized bisect of q into h restricted to [lo, hi) — the prefix
     LUT bounds the range, so `steps` iterations (static, from the largest

@@ -36,13 +36,26 @@ class SeedResult:
 
 class Seeder:
     def __init__(self, table: SeedTable, cfg, a_cap: int = 8192,
-                 hit_cap: int = 8192):
-        self.table = table.ensure_lut()
+                 hit_cap: int = 8192, mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards the seed table by
+        hash range across devices (parallel/shard_index.py) and runs the
+        sharded D-SOFT, with hits routed to the read's owner by one tiled
+        all_to_all.  Results are bit-identical to the replicated path."""
+        self.table = table if mesh is not None else table.ensure_lut()
         self.cfg = cfg
         self.a_cap = a_cap
         self.hit_cap = hit_cap
         self.max_occ = (cfg.max_bucket_occupancy
                         or table.kmer_max_occurence)
+        self.mesh = mesh
+        if mesh is not None:
+            from darwin_tpu.parallel.shard_index import shard_seed_table
+            self.sharded_table = shard_seed_table(table, mesh)
+            n = self.sharded_table.n_shards
+            if n & (n - 1):
+                raise ValueError("mesh size must be a power of two")
+        else:
+            self.sharded_table = None
 
     def seed_batch(self, reads) -> SeedResult:
         cfg = self.cfg
@@ -60,6 +73,17 @@ class Seeder:
             codes2[2 * i + 1, :r.length] = G.encode2(r.rc_seq)
             lengths[2 * i] = lengths[2 * i + 1] = r.length
 
+        if self.mesh is not None:
+            # every shard needs the same row count; B is a power of two,
+            # so max() covers any power-of-two mesh
+            B2 = max(B, self.sharded_table.n_shards)
+            if B2 != B:
+                codes2 = np.concatenate(
+                    [codes2, np.zeros((B2 - B, lcap), np.uint8)])
+                lengths = np.concatenate(
+                    [lengths, np.zeros(B2 - B, np.int32)])
+                B = B2
+
         pcap = lcap - cfg.seed_size + 1
         mq_cap = mq_cap_for(pcap, cfg.num_seeds, cfg.max_stride,
                             cfg.do_overlap)
@@ -70,17 +94,28 @@ class Seeder:
         hit_cap = min(self.hit_cap, ceil_cap)
         a_cap = min(self.a_cap, ceil_cap)
         while True:
-            res_dev = dsoft_device(
-                jnp.asarray(codes2), jnp.asarray(lengths),
-                self.table.sorted_hashes, self.table.positions,
-                k=cfg.seed_size, w=cfg.minimizer_window,
-                num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
-                overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
-                bin_size=cfg.bin_size, max_occ=self.max_occ,
-                mq_cap=mq_cap, a_cap=a_cap,
-                hit_cap=hit_cap, lut=self.table.prefix_lut,
-                lut_shift=self.table.lut_shift,
-                lut_steps=self.table.lut_steps)
+            if self.mesh is not None:
+                from darwin_tpu.parallel.shard_index import dsoft_sharded
+                res_dev = dsoft_sharded(
+                    self.mesh, jnp.asarray(codes2), jnp.asarray(lengths),
+                    self.sharded_table,
+                    k=cfg.seed_size, w=cfg.minimizer_window,
+                    num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+                    overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
+                    bin_size=cfg.bin_size, max_occ=self.max_occ,
+                    mq_cap=mq_cap, a_cap=a_cap, hit_cap=hit_cap)
+            else:
+                res_dev = dsoft_device(
+                    jnp.asarray(codes2), jnp.asarray(lengths),
+                    self.table.sorted_hashes, self.table.positions,
+                    k=cfg.seed_size, w=cfg.minimizer_window,
+                    num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+                    overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
+                    bin_size=cfg.bin_size, max_occ=self.max_occ,
+                    mq_cap=mq_cap, a_cap=a_cap,
+                    hit_cap=hit_cap, lut=self.table.prefix_lut,
+                    lut_shift=self.table.lut_shift,
+                    lut_steps=self.table.lut_steps)
             # worst-case-padded anchor buffers use a tiny real prefix —
             # fetch the counts first, then only the used columns
             counts = np.asarray(jnp.stack(

@@ -55,8 +55,9 @@ def test_sharded_dsoft_matches_replicated(rng):
     ref = dsoft_device(jnp.asarray(codes2), jnp.asarray(lengths),
                        table.sorted_hashes, table.positions, **kw)
     mesh = make_mesh(8)
-    hsh, pos = shard_seed_table(table, mesh)
-    got = dsoft_sharded(mesh, codes2, lengths, hsh, pos, **kw)
+    st = shard_seed_table(table, mesh)
+    got = dsoft_sharded(mesh, codes2, lengths, st,
+                        hit_cap=mq_cap * max_occ, **kw)
 
     for key in ("n_hits", "n_anchors", "n_anchors_raw",
                 "n_queried_buckets"):
@@ -75,3 +76,70 @@ def test_sharded_dsoft_matches_replicated(rng):
                 err_msg=f"{key} read {b}")
     assert int(np.asarray(ref["n_hits"]).sum()) > 0
     assert int(np.asarray(ref["n_anchors"]).sum()) > 0
+
+
+def test_sharded_index_pipeline_identical(rng):
+    """Production-path end-to-end: Aligner(mesh, shard_index=True) — the
+    Seeder running the hash-sharded flat-gather D-SOFT — must emit output
+    byte-identical to the single-device pipeline."""
+    from darwin_tpu.genome import make_read
+    from darwin_tpu.pipeline.align import Aligner
+    from darwin_tpu.utils.simulate import simulate_reads
+
+    cfg = Config()
+    cfg.seed_size = 10
+    cfg.dsoft_threshold = 20
+    cfg.min_overlap = 400
+    store = GenomeStore()
+    store.add_chromosome(
+        "chrA", np.frombuffer(b"ACGT", np.uint8)[
+            random_codes(rng, 15000, n_prob=0)])
+    store.finalize()
+    sim = simulate_reads(store, 6, 1500, seed=4)
+    reads = [make_read(n, s) for n, s, _ in sim]
+
+    single = Aligner(cfg, store).align_batch(reads)
+    mesh = make_mesh(8)
+    sharded = Aligner(cfg, store, mesh=mesh,
+                      shard_index=True).align_batch(reads)
+    assert single == sharded
+    assert len(single) >= 4
+
+
+def test_sharded_hit_cap_retry(rng):
+    """A too-small initial hit_cap must transparently retry to the
+    lossless result (the Seeder's overflow loop through n_flat_raw)."""
+    from darwin_tpu.seeding.seeder import Seeder
+    from darwin_tpu.genome import make_read
+    from darwin_tpu.utils.simulate import simulate_reads
+
+    cfg = Config()
+    cfg.seed_size = 10
+    cfg.dsoft_threshold = 20
+    store = GenomeStore()
+    core = random_codes(rng, 6000, n_prob=0)
+    rep = np.concatenate([core, core[:3000], core[:3000]])
+    store.add_chromosome("chrA", np.frombuffer(b"ACGT", np.uint8)[rep])
+    store.finalize()
+    from darwin_tpu.index.seed_table import build_seed_table
+    table = build_seed_table(store, cfg)
+    sim = simulate_reads(store, 4, 1200, seed=5)
+    reads = [make_read(n, s) for n, s, _ in sim]
+
+    mesh = make_mesh(8)
+    a = Seeder(table, cfg).seed_batch(reads)
+    b = Seeder(table, cfg, hit_cap=8, mesh=mesh).seed_batch(reads)
+
+    def eq(xs, ys):
+        assert len(xs) == len(ys)
+        for x, y in zip(xs, ys):
+            assert (x.hit, x.offset, x.num_chained_hits,
+                    x.anchor_score) == (y.hit, y.offset,
+                                        y.num_chained_hits, y.anchor_score)
+            np.testing.assert_array_equal(x.left_chained, y.left_chained)
+            np.testing.assert_array_equal(x.right_chained, y.right_chained)
+
+    for x, y in zip(a.fw_anchors, b.fw_anchors):
+        eq(x, y)
+    for x, y in zip(a.rc_anchors, b.rc_anchors):
+        eq(x, y)
