@@ -93,10 +93,17 @@ def chain_anchors_native(hits_bin, hits_off, hits_pos, n_hits,
     lib = _load()
     if lib is None or n_anc == 0:
         return None
+    def as_u32_bits(a, n):
+        # positions span the full uint32 address width; the C side works
+        # on the bit pattern ((uint32_t) casts) — wrap explicitly
+        return np.ascontiguousarray(
+            (np.asarray(a[:n], np.int64)
+             & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32))
+
     hb = np.ascontiguousarray(hits_bin[:n_hits], np.int32)
     ho = np.ascontiguousarray(hits_off[:n_hits], np.int32)
-    hp = np.ascontiguousarray(hits_pos[:n_hits], np.int32)
-    ap = np.ascontiguousarray(anc_pos[:n_anc], np.int32)
+    hp = as_u32_bits(hits_pos, n_hits)
+    ap = as_u32_bits(anc_pos, n_anc)
     ao = np.ascontiguousarray(anc_off[:n_anc], np.int32)
     ab = np.ascontiguousarray(anc_bin[:n_anc], np.int32)
     cap = max(int(n_hits) * 2, 64)

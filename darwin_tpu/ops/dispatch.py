@@ -82,32 +82,67 @@ def _batch_align_scores(qtile, rtile, qlens, rlens, start_end, params):
                             with_trace=False)
 
 
+# Chunk size for >2 GiB genome buffers: a single XLA array past 2^31
+# elements miscomputes on this backend, so big genomes upload as a 2-D
+# (n_chunks, CHUNK_ELEMS) array and gathers split the uint32 address into
+# (chunk, local).  Matches the reference's uint32 / 4 GiB DRAM address
+# space (software/DRAM.cpp:8-13, Darwin.bond:99-101).
+CHUNK_BITS = 30
+CHUNK_ELEMS = 1 << CHUNK_BITS
+
+
+def chunk_ref_codes(codes: np.ndarray):
+    """Host->device layout for a genome code buffer: 1-D for < 2^31
+    elements (fast int32 path), else chunk-padded (n_chunks, CHUNK_ELEMS)
+    for the uint32 two-level gather."""
+    if codes.shape[0] < (1 << 31):
+        return codes
+    n = -(-codes.shape[0] // CHUNK_ELEMS)
+    pad = n * CHUNK_ELEMS - codes.shape[0]
+    if pad:
+        codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
+    return codes.reshape(n, CHUNK_ELEMS)
+
+
+def _gather_seq(codes, idx_u32):
+    """Gather codes[idx] where codes is 1-D (int32 indices, clipped) or
+    chunked 2-D (uint32 two-level).  Out-of-range indices (padding lanes,
+    including uint32-wrapped ones) return in-bounds garbage — every such
+    lane is masked by the DP's length masking."""
+    if codes.ndim == 1:
+        n = codes.shape[0]
+        return jnp.take(codes, jnp.clip(idx_u32.astype(jnp.int32),
+                                        0, n - 1))
+    nch = codes.shape[0]
+    ch = jnp.minimum(idx_u32 >> CHUNK_BITS, np.uint32(nch - 1))
+    lo = idx_u32 & np.uint32(CHUNK_ELEMS - 1)
+    return codes.at[ch.astype(jnp.int32), lo.astype(jnp.int32)].get(
+        mode="promise_in_bounds")
+
+
 @functools.partial(jax.jit, static_argnames=("qt", "rt"))
 def gather_tiles(ref_codes, query_codes, r_start, r_size, q_start, q_size,
                  rev, qt: int, rt: int):
     """Gather (B, rt) ref tiles and (B, qt) query tiles.
 
     rev=True gathers both tiles reversed (the right-extension orientation,
-    align_fields reverse_ref+reverse_query, software/extender.cpp:206)."""
-    # int32 index arithmetic: coordinate space is capped at 2^31 for now
-    # (the reference uses uint32 addresses; genomes beyond 2 Gbp need the
-    # planned sharded-genome path).
-    nr = ref_codes.shape[0]
-    nq = query_codes.shape[0]
-    r_start = r_start.astype(jnp.int32)
-    r_size = r_size.astype(jnp.int32)
-    q_start = q_start.astype(jnp.int32)
-    q_size = q_size.astype(jnp.int32)
-    i = jnp.arange(rt, dtype=jnp.int32)[None, :]
+    align_fields reverse_ref+reverse_query, software/extender.cpp:206).
+    Index arithmetic runs in uint32 — the reference's own address width
+    (4 GiB DRAM) — with underflows landing in masked padding lanes."""
+    r_start = r_start.astype(jnp.uint32)
+    r_size = r_size.astype(jnp.uint32)
+    q_start = q_start.astype(jnp.uint32)
+    q_size = q_size.astype(jnp.uint32)
+    i = jnp.arange(rt, dtype=jnp.uint32)[None, :]
     ridx = jnp.where(rev[:, None],
                      r_start[:, None] + r_size[:, None] - 1 - i,
                      r_start[:, None] + i)
-    rtile = jnp.take(ref_codes, jnp.clip(ridx, 0, nr - 1))
-    j = jnp.arange(qt, dtype=jnp.int32)[None, :]
+    rtile = _gather_seq(ref_codes, ridx)
+    j = jnp.arange(qt, dtype=jnp.uint32)[None, :]
     qidx = jnp.where(rev[:, None],
                      q_start[:, None] + q_size[:, None] - 1 - j,
                      q_start[:, None] + j)
-    qtile = jnp.take(query_codes, jnp.clip(qidx, 0, nq - 1))
+    qtile = _gather_seq(query_codes, qidx)
     return qtile, rtile
 
 
@@ -123,15 +158,16 @@ def pad_batch(b: int) -> int:
 
 
 def _pack_requests(r_start, r_size, q_start, q_size, rev=None):
-    """Stack the per-tile request vectors into ONE (5, B) int64 host->device
-    transfer (the reference's BatchAlignmentInputFieldsDRAM batching,
-    software/Darwin.bond:131-135 — one message per batch, not one per
-    field).  Individual device_puts dominate round latency otherwise."""
-    rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
-            np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
-            np.zeros(len(np.asarray(r_start)), np.int64) if rev is None
-            else np.asarray(rev).astype(np.int64)]
-    return jnp.asarray(np.stack(rows))
+    """Stack the per-tile request vectors into ONE (5, B) uint32
+    host->device transfer (the reference's BatchAlignmentInputFieldsDRAM
+    batching, software/Darwin.bond:131-135 — one message per batch, not
+    one per field).  uint32 is the full reference address width (4 GiB
+    DRAM); individual device_puts dominate round latency otherwise."""
+    rows = [np.asarray(r_start, np.uint64), np.asarray(r_size, np.uint64),
+            np.asarray(q_start, np.uint64), np.asarray(q_size, np.uint64),
+            np.zeros(len(np.asarray(r_start)), np.uint64) if rev is None
+            else np.asarray(rev).astype(np.uint64)]
+    return jnp.asarray(np.stack(rows).astype(np.uint32))
 
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
@@ -256,12 +292,13 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
     r_start, r_size = req[0], req[1].astype(jnp.int32)
     q_start, q_size = req[2], req[3].astype(jnp.int32)
     rev = req[4] != 0
-    chrom_start, chrom_len = req[5], req[6].astype(jnp.int64)
-    q_buf_start, q_len = req[7], req[8].astype(jnp.int32)
+    chrom_start = req[5]                   # uint32 (full address width)
+    q_buf_start = req[7]
+    q_len = req[8].astype(jnp.int32)
     se = jnp.ones(r_start.shape, bool)
     B0 = r_start.shape[0]
     TT = jnp.int32(qt)                     # speculation is (qt, rt) = (T, T)
-    cl32 = chrom_len.astype(jnp.int32)
+    cl32 = req[6].astype(jnp.int32)        # per-chromosome length < 2^31
 
     def one_tile(rs, rsz, qs, qsz):
         qtile, rtile = gather_tiles(ref_codes, query_codes, rs, rsz,
@@ -281,14 +318,14 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
 
     recs = [rec1]
     delta_rows = []
-    curr_ref = jnp.where(rev,
-                         (r_start - chrom_start).astype(jnp.int32),
-                         (r_start - chrom_start).astype(jnp.int32)
-                         + r_size - 1)
-    curr_q = jnp.where(rev,
-                       (q_start - q_buf_start).astype(jnp.int32),
-                       (q_start - q_buf_start).astype(jnp.int32)
-                       + q_size - 1)
+    # chromosome-relative int32 coordinates (each chromosome < 2^31; the
+    # uint32 subtraction is exact for in-chromosome addresses)
+    rel_r = (r_start.astype(jnp.uint32)
+             - chrom_start.astype(jnp.uint32)).astype(jnp.int32)
+    rel_q = (q_start.astype(jnp.uint32)
+             - q_buf_start.astype(jnp.uint32)).astype(jnp.int32)
+    curr_ref = jnp.where(rev, rel_r, rel_r + r_size - 1)
+    curr_q = jnp.where(rev, rel_q, rel_q + q_size - 1)
     prev = (r_start, r_size, q_start, q_size, rec1)
     for _lvl in range(K - 1):
         p_rs, p_rsz, p_qs, p_qsz, p_rec = prev
@@ -308,13 +345,18 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
                            jnp.where(curr_ref >= TT, curr_ref - TT + 1, 0))
         q_rel2 = jnp.where(rev, curr_q,
                            jnp.where(curr_q >= TT, curr_q - TT + 1, 0))
-        rs2 = chrom_start + r_rel2.astype(jnp.int64)
-        qs2 = q_buf_start.astype(jnp.int64) + q_rel2.astype(jnp.int64)
+        rs2 = chrom_start.astype(jnp.uint32) + r_rel2.astype(jnp.uint32)
+        qs2 = q_buf_start.astype(jnp.uint32) + q_rel2.astype(jnp.uint32)
         _, rec2, _, _, spill2 = one_tile(rs2, rsz2, qs2, qsz2)
         spill = spill | spill2
         recs.append(rec2)
-        delta_rows += [row((rs2 - p_rs).astype(jnp.int32)), row(rsz2),
-                       row((qs2 - p_qs).astype(jnp.int32)), row(qsz2)]
+        # level-to-level address deltas are < +-2 tiles: exact in int32
+        # (uint32 wraparound difference) and in the int16 packed rows
+        delta_rows += [
+            row((rs2 - p_rs.astype(jnp.uint32)).astype(jnp.int32)),
+            row(rsz2),
+            row((qs2 - p_qs.astype(jnp.uint32)).astype(jnp.int32)),
+            row(qsz2)]
         prev = (rs2, rsz2, qs2, qsz2, rec2)
 
     return jnp.concatenate(
@@ -339,19 +381,19 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
     K = SPEC_K
     check_int16_packing(params, qt, rt, max_tb)
     from darwin_tpu.ops import gact_pallas
-    rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
-            np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
-            np.asarray(rev).astype(np.int64),
-            np.asarray(chrom_start, np.int64),
-            np.asarray(chrom_len, np.int64),
-            np.asarray(q_buf_start, np.int64),
-            np.asarray(q_len, np.int64)]
-    req = jnp.asarray(np.stack(rows))
+    rows = [np.asarray(r_start, np.uint64), np.asarray(r_size, np.uint64),
+            np.asarray(q_start, np.uint64), np.asarray(q_size, np.uint64),
+            np.asarray(rev).astype(np.uint64),
+            np.asarray(chrom_start, np.uint64),
+            np.asarray(chrom_len, np.uint64),
+            np.asarray(q_buf_start, np.uint64),
+            np.asarray(q_len, np.uint64)]
+    req = jnp.asarray(np.stack(rows).astype(np.uint32))
     packed_dev = _extend_round_spec_pallas(
         ref_codes, query_codes, req, gact_pallas._static_params(params),
         qt, rt, max_tb, stop_thr, K)
-    r_start64 = rows[0]
-    q_start64 = rows[2]
+    r_start64 = rows[0].astype(np.int64)
+    q_start64 = rows[2].astype(np.int64)
 
     def rerun_safe():
         return _extend_round_spec_pallas(
@@ -434,10 +476,13 @@ def first_tile_scores(ref_codes, query_codes, r_start, r_size, q_start,
     B = r_start.shape[0]
     rev = jnp.zeros((B,), bool)
     qtile, rtile = gather_tiles(ref_codes, query_codes,
-                                jnp.asarray(np.asarray(r_start)),
-                                jnp.asarray(np.asarray(r_size)),
-                                jnp.asarray(np.asarray(q_start)),
-                                jnp.asarray(np.asarray(q_size)), rev, qt, rt)
+                                jnp.asarray(np.asarray(r_start, np.uint64)
+                                            .astype(np.uint32)),
+                                jnp.asarray(np.asarray(r_size, np.int32)),
+                                jnp.asarray(np.asarray(q_start, np.uint64)
+                                            .astype(np.uint32)),
+                                jnp.asarray(np.asarray(q_size, np.int32)),
+                                rev, qt, rt)
     return _batch_align_scores(qtile, rtile,
                                jnp.asarray(np.asarray(q_size, np.int32)),
                                jnp.asarray(np.asarray(r_size, np.int32)),
@@ -484,10 +529,12 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
                     "ref_max_pos": tail[4][:B]}
         return resolve
     qtile, rtile = gather_tiles(ref_codes, query_codes,
-                                jnp.asarray(np.asarray(r_start)),
-                                jnp.asarray(np.asarray(r_size)),
-                                jnp.asarray(np.asarray(q_start)),
-                                jnp.asarray(np.asarray(q_size)),
+                                jnp.asarray(np.asarray(r_start, np.uint64)
+                                            .astype(np.uint32)),
+                                jnp.asarray(np.asarray(r_size, np.int32)),
+                                jnp.asarray(np.asarray(q_start, np.uint64)
+                                            .astype(np.uint32)),
+                                jnp.asarray(np.asarray(q_size, np.int32)),
                                 jnp.asarray(np.asarray(rev)), qt, rt)
     res = _align_and_traceback(
         qtile, rtile, jnp.asarray(np.asarray(q_size, np.int32)),

@@ -197,14 +197,14 @@ class MeshDispatcher:
         check_int16_packing(params, qt, rt, max_tb)
         B = int(np.asarray(r_start).shape[0])
         K = SPEC_K
-        rows = [np.asarray(r_start, np.int64), np.asarray(r_size, np.int64),
-                np.asarray(q_start, np.int64), np.asarray(q_size, np.int64),
-                np.asarray(rev).astype(np.int64),
-                np.asarray(chrom_start, np.int64),
-                np.asarray(chrom_len, np.int64),
-                np.asarray(q_buf_start, np.int64),
-                np.asarray(q_len, np.int64)]
-        req = jax.device_put(np.stack(rows),
+        rows = [np.asarray(r_start, np.uint64), np.asarray(r_size, np.uint64),
+                np.asarray(q_start, np.uint64), np.asarray(q_size, np.uint64),
+                np.asarray(rev).astype(np.uint64),
+                np.asarray(chrom_start, np.uint64),
+                np.asarray(chrom_len, np.uint64),
+                np.asarray(q_buf_start, np.uint64),
+                np.asarray(q_len, np.uint64)]
+        req = jax.device_put(np.stack(rows).astype(np.uint32),
                              NamedSharding(self.mesh, P(None, "data")))
         ps = gact_pallas._static_params(params)
         step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb, stop_thr, K)
@@ -216,7 +216,8 @@ class MeshDispatcher:
             return safe_step(ref_codes, query_codes, req)
 
         return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt,
-                                   max_tb, rows[0], rows[2])
+                                   max_tb, rows[0].astype(np.int64),
+                                   rows[2].astype(np.int64))
 
     def first_tile_scores(self, ref_codes, query_codes, r_start, r_size,
                           q_start, q_size, params, *, qt, rt):

@@ -77,10 +77,11 @@ class Aligner:
         same buffer serves both the filter and extension gathers), uploaded
         once per run."""
         if self._ref_codes is None:
+            from darwin_tpu.ops.dispatch import chunk_ref_codes
             bases = np.concatenate(
                 [self.store.bases,
                  np.full(4 * self.cfg.large_tile_long, ord("N"), np.uint8)])
-            codes = encode5(bases)
+            codes = chunk_ref_codes(encode5(bases))
             self._ref_codes = (self.mesh_dispatch.put_replicated(codes)
                                if self.mesh_dispatch else jnp.asarray(codes))
         return self._ref_codes

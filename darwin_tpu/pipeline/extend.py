@@ -460,7 +460,8 @@ class ExtensionManager:
     def _ref_dev(self):
         if self.ref_codes_dev is None:
             from darwin_tpu.genome import encode5
-            codes = encode5(self.bases)
+            from darwin_tpu.ops.dispatch import chunk_ref_codes
+            codes = chunk_ref_codes(encode5(self.bases))
             self.ref_codes_dev = (self.mesh.put_replicated(codes)
                                   if self.mesh else jnp.asarray(codes))
         return self.ref_codes_dev

@@ -56,14 +56,15 @@ def chain_anchors(hits_bin, hits_off, hits_pos, n_hits,
         out.sort(key=lambda x: (-x.num_chained_hits, x.hit_offset))
         return out
     hb = np.asarray(hits_bin[:n_hits], np.int64)
-    ho = np.asarray(hits_off[:n_hits], np.int64)
-    hp = np.asarray(hits_pos[:n_hits], np.int64)
-    hkey = (hp << 32) | ho
+    ho = np.asarray(hits_off[:n_hits], np.uint64)
+    # positions use the full uint32 address width; keys pack in uint64
+    hp = np.asarray(hits_pos[:n_hits], np.int64).astype(np.uint64)
+    hkey = ((hp << np.uint64(32)) | ho).astype(np.uint64)
 
     out: List[Anchor] = []
     for a in range(n_anchors):
         curr_bin = int(anc_bin[a])
-        akey = (int(anc_pos[a]) << 32) | int(anc_off[a])
+        akey = np.uint64((int(anc_pos[a]) << 32) | int(anc_off[a]))
         lo = int(np.searchsorted(hb, curr_bin - sv, side="left"))
         hi = int(np.searchsorted(hb, curr_bin + sv, side="left"))
         wkey = hkey[lo:hi]

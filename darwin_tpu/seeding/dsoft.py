@@ -165,9 +165,14 @@ def _bucket_hits_flat(positions, offs, bucket_range, cnt_global,
 
     n = positions.shape[0]
     gidx = jnp.clip(st + (j - sf), 0, max(n - 1, 0))
-    pos = jnp.take(positions, gidx).astype(jnp.int32)
-    hit_ok = ok_slot & (pos >= of)
-    binf = jnp.where(hit_ok, (pos - of) // bin_size, I32MAX)
+    # positions span the full uint32 address space (>2 Gbp genomes,
+    # reference DRAM width); bins fit int32 after the division
+    pos = jnp.take(positions, gidx)                      # uint32
+    of_u = of.astype(jnp.uint32)
+    hit_ok = ok_slot & (pos >= of_u)
+    binf = jnp.where(hit_ok,
+                     ((pos - of_u) // jnp.uint32(bin_size))
+                     .astype(jnp.int32), I32MAX)
     okf = hit_ok.astype(jnp.int32)
     return binf, of, pos, okf, bucket_ok, total
 

@@ -140,14 +140,24 @@ class Seeder:
         mh = min(mh, res_dev["hits_bin"].shape[1])
         ma = _round_up_pow2(max(int(counts[1].max()), 1), 256)
         ma = min(ma, res_dev["anc_bin"].shape[1])
+        import jax
+
+        def as_i32(x):
+            # positions are uint32 (full address width); move the bit
+            # pattern through the int32 stacked fetch, widen on the host
+            return (jax.lax.bitcast_convert_type(x, jnp.int32)
+                    if x.dtype == jnp.uint32 else x)
+
         ph = np.asarray(jnp.stack([res_dev["hits_bin"][:, :mh],
                                    res_dev["hits_off"][:, :mh],
-                                   res_dev["hits_pos"][:, :mh]]))
-        pa = np.asarray(jnp.stack([res_dev["anc_pos"][:, :ma],
+                                   as_i32(res_dev["hits_pos"][:, :mh])]))
+        pa = np.asarray(jnp.stack([as_i32(res_dev["anc_pos"][:, :ma]),
                                    res_dev["anc_off"][:, :ma],
                                    res_dev["anc_bin"][:, :ma]]))
-        res["hits_bin"], res["hits_off"], res["hits_pos"] = ph
-        res["anc_pos"], res["anc_off"], res["anc_bin"] = pa
+        res["hits_bin"], res["hits_off"] = ph[0], ph[1]
+        res["hits_pos"] = ph[2].view(np.uint32).astype(np.int64)
+        res["anc_pos"] = pa[0].view(np.uint32).astype(np.int64)
+        res["anc_off"], res["anc_bin"] = pa[1], pa[2]
 
         # unreachable after the retry loop (a_cap grows to the lossless
         # ceiling mq_cap*max_occ, which n_anchors_raw cannot exceed)

@@ -1,0 +1,96 @@
+"""End-to-end >2 Gbp demonstration: synthetic 3.2 Gbp genome (4 x 800 Mbp
+chromosomes), index build, and 512 x 10 kb reads aligned on the real chip
+with correct-locus verification — the reference's full uint32 / 4 GiB DRAM
+address space (software/DRAM.cpp:8-13), past the old 2 GiB int32 device cap.
+
+The genome uploads as a chunked (n, 2^30) device buffer and D-SOFT
+positions ride uint32 end-to-end.  Minimizer window w=9 keeps the (hash,
+position) table within one v5e HBM next to the genome (w=3 would need the
+hash-sharded index over multiple chips, parallel/shard_index.py).
+
+Run: python tools/bigref_e2e.py [--gbp 3.2] [--reads 512]
+(takes ~10-20 min through the axon tunnel: ~10 GB of one-time uploads)
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+def synth_bases(rng, n: int) -> np.ndarray:
+    """Pseudo-random ACGT bytes (single pass — the bigref host is a slow
+    shared vCPU, so every elementwise pass over 3.2e9 matters)."""
+    return np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, size=n, dtype=np.uint8)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbp", type=float, default=3.2)
+    ap.add_argument("--reads", type=int, default=512)
+    ap.add_argument("--read-len", type=int, default=10000)
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore, make_read
+    from darwin_tpu.pipeline.align import Aligner, enable_compile_cache
+    from darwin_tpu.utils.simulate import simulate_reads
+
+    enable_compile_cache()
+    n_chrom = 4
+    clen = int(args.gbp * 1e9) // n_chrom
+    t0 = time.time()
+    rng = np.random.default_rng(0)
+    store = GenomeStore()
+    for c in range(n_chrom):
+        store.add_chromosome(f"chr{c + 1}", synth_bases(rng, clen))
+        print(f"  chr{c + 1} ({time.time() - t0:.0f}s)", flush=True)
+    store.finalize()
+    print(f"genome: {store.size / 1e9:.2f} Gbp coordinate space "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    assert store.size > (1 << 31), "demo must exceed the int32 cap"
+
+    cfg = Config()
+    cfg.minimizer_window = 9   # table must share HBM with the genome
+    t0 = time.time()
+    aligner = Aligner(cfg, store)
+    print(f"seed table: {aligner.table.num_seeds / 1e6:.0f} M seeds "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    sim = simulate_reads(store, args.reads, args.read_len, seed=9)
+    reads = [make_read(n, s) for n, s, _ in sim]
+
+    n_ok = n_aligned = 0
+    t0 = time.time()
+    for b in range(0, len(reads), args.batch):
+        batch = reads[b:b + args.batch]
+        lines = aligner.align_batch(batch)
+        best = {}
+        for ln in lines:
+            f = ln.split("\t")
+            best.setdefault(f[0], (f[2], int(f[3])))  # first = best-scoring
+        for r in batch:
+            if r.name not in best:
+                continue
+            n_aligned += 1
+            chrom, pos = best[r.name]
+            want_chrom, want_pos = r.name.split("_")[-3:-1]
+            if chrom == want_chrom and abs(int(want_pos) - (pos - 1)) <= 32:
+                n_ok += 1
+        print(f"  batch {b // args.batch}: aligned {n_aligned}, "
+              f"correct {n_ok} ({time.time() - t0:.0f}s)", flush=True)
+    dt = time.time() - t0
+    res = {"genome_gbp": round(store.size / 1e9, 2),
+           "seeds_m": round(aligner.table.num_seeds / 1e6, 1),
+           "reads": len(reads), "aligned": n_aligned, "correct_locus": n_ok,
+           "align_seconds": round(dt, 1),
+           "reads_per_s": round(len(reads) / dt, 2)}
+    print(json.dumps(res))
+    with open("BIGREF_r02.json", "w") as f:
+        json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
