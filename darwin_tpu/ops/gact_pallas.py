@@ -47,8 +47,14 @@ orc_OP_M = int(_orc.OP_M)
 orc_OP_D = int(_orc.OP_D)
 orc_OP_I = int(_orc.OP_I)
 
+import os as _os
+
 LANES = 128
-PCOL = 8          # ref columns per grid step for standard tiles
+# ref columns per grid step for standard tiles.  Interleaved A/B on the
+# (time-shared) v5e puts 8 slightly ahead of 16 and well ahead of 24/32;
+# single-shot runs swing +-20% with tunnel phase, so re-tune via
+# DARWIN_TPU_PCOL on dedicated hardware.
+PCOL = int(_os.environ.get("DARWIN_TPU_PCOL", "8"))
 NEG16 = -(1 << 28)
 
 

@@ -42,3 +42,7 @@ def mutate(rng, codes, sub_p=0.08, ins_p=0.04, del_p=0.04):
         else:
             out.append(c)
     return np.array(out, dtype=np.uint8)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
