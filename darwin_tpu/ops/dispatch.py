@@ -46,18 +46,18 @@ def use_pallas_for(params) -> bool:
 
 def check_int16_packing(params, qt: int, rt: int, max_tb: int):
     """The packed device->host result matrix is int16; verify the
-    configured geometry/scoring cannot overflow it (|score| bounded by the
-    largest |scoring value| times the path length, steps by 2*max_tb,
-    records by a 14-bit run count).  Exotic configs fail loudly here
-    instead of silently corrupting scores (params.cfg is user-supplied)."""
-    vals = [int(v) for row in np.asarray(params.sub) for v in row]
-    vals += [int(params.gap_open), int(params.gap_extend),
-             int(params.long_gap_open), int(params.long_gap_extend)]
-    bound = max(abs(v) for v in vals) * (qt + rt)
+    configured geometry/scoring cannot overflow it.  The DP is local
+    (H >= 0 throughout), so the score is bounded by the largest positive
+    substitution score times the shorter tile side; steps are bounded by
+    2*max_tb and run-length records by a 14-bit count.  Exotic configs
+    fail loudly here instead of silently corrupting scores (params.cfg is
+    user-supplied)."""
+    max_sub = max(max(int(v) for v in row) for row in np.asarray(params.sub))
+    bound = max(max_sub, 0) * min(qt, rt)
     if bound >= 1 << 15 or 2 * max_tb >= 1 << 15 or qt + rt >= 1 << 14:
         raise ValueError(
             f"tile geometry ({qt}x{rt}, max_tb={max_tb}) with this scoring "
-            f"overflows the int16 packed result (|score| bound {bound}); "
+            f"overflows the int16 packed result (score bound {bound}); "
             "reduce tile_size or the scoring magnitudes")
 
 

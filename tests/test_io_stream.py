@@ -41,3 +41,21 @@ def test_batch_iterator_slicing(tmp_path, rng):
     assert fasta.count_reads(path) == len(reads)
     sizes = [len(b) for b in fasta.iter_read_batches(path, 8)]
     assert sizes == [8] * 6 + [2]
+
+
+def test_gzip_fastq_roundtrip(tmp_path, rng):
+    """gzip sniffing + FASTQ parsing (quality lines may start with '@' or
+    '+'; length-counted like kseq)."""
+    import gzip
+    path = str(tmp_path / "reads.fq.gz")
+    seqs = []
+    with gzip.open(path, "wt") as f:
+        for i in range(6):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 200 + i))
+            seqs.append(seq)
+            qual = "@" + "+" * (len(seq) - 1)   # adversarial quality chars
+            f.write(f"@q{i} desc\n{seq}\n+\n{qual}\n")
+    got = list(fasta.iter_fasta(path))
+    assert [n for n, _ in got] == [f"q{i}" for i in range(6)]
+    for (n, s), exp in zip(got, seqs):
+        assert bytes(s).decode() == exp
