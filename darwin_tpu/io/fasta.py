@@ -39,20 +39,34 @@ def iter_fasta(path: str,
         from darwin_tpu import native
         if native.fasta_scan_native(b">x\nA\n") is not None:
             with open(path, "rb") as f:
-                buf = b""
+                # accumulate chunks in a list and search only the NEW data
+                # for a record boundary — one pass regardless of record
+                # size (an 800 Mbp chromosome spans many chunks)
+                parts: list[bytes] = []
+                ends_nl = False
                 while True:
                     data = f.read(chunk_bytes)
                     if not data:
                         break
-                    buf += data
-                    cut = buf.rfind(b"\n>")
-                    if cut == -1:
+                    cut = data.rfind(b"\n>")
+                    if cut >= 0:
+                        part = b"".join(parts) + data[:cut + 1]
+                        parts = [data[cut + 1:]]
+                    elif ends_nl and data[:1] == b">":
+                        # boundary straddles the chunk edge
+                        part = b"".join(parts)
+                        parts = [data]
+                    else:
+                        parts.append(data)
+                        ends_nl = data.endswith(b"\n")
                         continue
-                    part, buf = buf[:cut + 1], buf[cut + 1:]
-                    names, seqs = native.fasta_scan_native(part)
-                    yield from zip(names, seqs)
-                if buf:
-                    names, seqs = native.fasta_scan_native(buf)
+                    ends_nl = data.endswith(b"\n")
+                    if part:
+                        names, seqs = native.fasta_scan_native(part)
+                        yield from zip(names, seqs)
+                tail = b"".join(parts)
+                if tail:
+                    names, seqs = native.fasta_scan_native(tail)
                     yield from zip(names, seqs)
             return
     with _open_maybe_gzip(path) as fh:

@@ -44,6 +44,12 @@ def use_pallas_for(params) -> bool:
     return use_pallas() and gact.prefix_ok(params)
 
 
+# memoized by params identity + geometry (reading params.sub is a
+# blocking device fetch; this runs per dispatch in the hot loop)
+_PACK_CHECK_CACHE: dict = {}
+_PACK_CHECK_KEEP: list = []
+
+
 def check_int16_packing(params, qt: int, rt: int, max_tb: int):
     """The packed device->host result matrix is int16; verify the
     configured geometry/scoring cannot overflow it.  The DP is local
@@ -52,6 +58,9 @@ def check_int16_packing(params, qt: int, rt: int, max_tb: int):
     2*max_tb and run-length records by a 14-bit count.  Exotic configs
     fail loudly here instead of silently corrupting scores (params.cfg is
     user-supplied)."""
+    key = (id(params), qt, rt, max_tb)
+    if key in _PACK_CHECK_CACHE:
+        return
     max_sub = max(max(int(v) for v in row) for row in np.asarray(params.sub))
     bound = max(max_sub, 0) * min(qt, rt)
     if bound >= 1 << 15 or 2 * max_tb >= 1 << 15 or qt + rt >= 1 << 14:
@@ -59,6 +68,8 @@ def check_int16_packing(params, qt: int, rt: int, max_tb: int):
             f"tile geometry ({qt}x{rt}, max_tb={max_tb}) with this scoring "
             f"overflows the int16 packed result (score bound {bound}); "
             "reduce tile_size or the scoring magnitudes")
+    _PACK_CHECK_CACHE[key] = True
+    _PACK_CHECK_KEEP.append(params)
 
 
 def _align_and_traceback(qtile, rtile, qlens, rlens, start_end, params,
@@ -271,6 +282,22 @@ def _device_consumed(rec, r_size, q_size, stop_thr, max_ops):
 SPEC_K = int(os.environ.get("DARWIN_TPU_SPEC_K", "12"))
 
 
+def _pack_spec_requests(r_start, r_size, q_start, q_size, rev, chrom_start,
+                        chrom_len, q_buf_start, q_len):
+    """Row layout consumed by _extend_round_spec_pallas (rows 0..8);
+    shared by the single-device and mesh speculative dispatchers.
+    Returns (req_u32, r_start_i64, q_start_i64)."""
+    rows = [np.asarray(r_start, np.uint64), np.asarray(r_size, np.uint64),
+            np.asarray(q_start, np.uint64), np.asarray(q_size, np.uint64),
+            np.asarray(rev).astype(np.uint64),
+            np.asarray(chrom_start, np.uint64),
+            np.asarray(chrom_len, np.uint64),
+            np.asarray(q_buf_start, np.uint64),
+            np.asarray(q_len, np.uint64)]
+    return (np.stack(rows).astype(np.uint32),
+            rows[0].astype(np.int64), rows[2].astype(np.int64))
+
+
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
                                              "params_static", "stop_thr",
                                              "K", "safe"))
@@ -381,19 +408,12 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
     K = SPEC_K
     check_int16_packing(params, qt, rt, max_tb)
     from darwin_tpu.ops import gact_pallas
-    rows = [np.asarray(r_start, np.uint64), np.asarray(r_size, np.uint64),
-            np.asarray(q_start, np.uint64), np.asarray(q_size, np.uint64),
-            np.asarray(rev).astype(np.uint64),
-            np.asarray(chrom_start, np.uint64),
-            np.asarray(chrom_len, np.uint64),
-            np.asarray(q_buf_start, np.uint64),
-            np.asarray(q_len, np.uint64)]
-    req = jnp.asarray(np.stack(rows).astype(np.uint32))
+    req, r_start64, q_start64 = _pack_spec_requests(
+        r_start, r_size, q_start, q_size, rev, chrom_start, chrom_len,
+        q_buf_start, q_len)
     packed_dev = _extend_round_spec_pallas(
         ref_codes, query_codes, req, gact_pallas._static_params(params),
         qt, rt, max_tb, stop_thr, K)
-    r_start64 = rows[0].astype(np.int64)
-    q_start64 = rows[2].astype(np.int64)
 
     def rerun_safe():
         return _extend_round_spec_pallas(

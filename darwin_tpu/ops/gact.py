@@ -80,18 +80,33 @@ class GactParams(NamedTuple):
     long_gap_extend: jax.Array
 
 
+# prefix_ok/window results memoized by params identity: the fields are
+# tiny device arrays, so int() is a blocking device fetch (milliseconds
+# through a network-attached TPU) that must not run per dispatch.  The
+# keep-list pins the params objects so ids stay unique.
+_PARAMS_CACHE: dict = {}
+_PARAMS_KEEP: list = []
+
+
 def prefix_ok(params) -> bool:
     """Whether the scoring admits the prefix-max gap scan (opening never
     cheaper than extending, both lanes).  Scorings outside this domain
     (the reference accepts any, software/Processor.cpp:48-80) route
     through the generic max-plus scan on the lax kernel.  Returns True
     for traced params (jit callers are production paths, which are gated
-    at dispatch level on concrete values)."""
+    at dispatch level on concrete values — see use_pallas_for and the
+    mesh dispatcher, which resolve this before tracing)."""
+    key = ("prefix_ok", id(params))
+    if key in _PARAMS_CACHE:
+        return _PARAMS_CACHE[key]
     try:
-        return (int(params.gap_open) <= int(params.gap_extend)
-                and int(params.long_gap_open) <= int(params.long_gap_extend))
+        ok = (int(params.gap_open) <= int(params.gap_extend)
+              and int(params.long_gap_open) <= int(params.long_gap_extend))
     except Exception:
-        return True
+        return True  # tracers: do not cache
+    _PARAMS_CACHE[key] = ok
+    _PARAMS_KEEP.append(params)
+    return ok
 
 
 def make_params(cfg) -> GactParams:
@@ -189,7 +204,7 @@ def _column_gaps_prefix(hp, go, ge, goL, geL, wf=None, wfl=None):
     """
     B, Q = hp.shape
     if wf is None or wfl is None:
-        wf, wfl = gap_scan_windows(go, ge, goL, geL, Q)
+        wf, wfl = orc.gap_scan_windows(go, ge, goL, geL, Q)
     q_idx = jnp.arange(Q, dtype=jnp.int32)[None, :]
 
     def one(open_, ext, w):
@@ -227,14 +242,20 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
         # scorings with opening cheaper than extending invalidate the
         # prefix-max formulation — auto-route to the generic max-plus scan
         prefix_gaps = prefix_ok(params)
-    try:
-        wins = orc.gap_scan_windows(
-            params.gap_open, params.gap_extend, params.long_gap_open,
-            params.long_gap_extend, QT)
-    except Exception:
-        # params are tracers (called under an outer jit): full scans.
-        # Walked results are window-invariant, so mixing is harmless.
-        wins = (QT, QT)
+    key = ("windows", id(params), QT)
+    if key in _PARAMS_CACHE:
+        wins = _PARAMS_CACHE[key]
+    else:
+        try:
+            wins = orc.gap_scan_windows(
+                params.gap_open, params.gap_extend, params.long_gap_open,
+                params.long_gap_extend, QT)
+            _PARAMS_CACHE[key] = wins
+            _PARAMS_KEEP.append(params)
+        except Exception:
+            # params are tracers (called under an outer jit): full scans.
+            # Walked results are window-invariant, so mixing is harmless.
+            wins = (QT, QT)
     return _batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
                         with_trace, prefix_gaps, all_start_end, wins)
 
@@ -503,14 +524,18 @@ def batch_traceback(trace, start_q, start_r, max_tb_steps):
 
 
 def align_and_traceback(qcodes, rcodes, qlens, rlens, start_end, params,
-                        max_tb_steps, all_start_end=False):
+                        max_tb_steps, all_start_end=False,
+                        prefix_gaps=True):
     """One-dispatch DP + traceback; only compact results leave the device.
 
     Traceback starts at (qlen-1, rlen-1) for start_end tiles and at the max
-    cell otherwise (Processor.cpp:593-598).
+    cell otherwise (Processor.cpp:593-598).  Callers tracing this under an
+    outer jit must resolve prefix_gaps from concrete params themselves
+    (gact.prefix_ok) — inside a trace the auto-detection cannot run.
     """
     res = batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
-                      with_trace=True, all_start_end=all_start_end)
+                      with_trace=True, all_start_end=all_start_end,
+                      prefix_gaps=prefix_gaps)
     tb = batch_traceback(res["trace"],
                          jnp.where(start_end, qlens - 1, res["query_max_pos"]),
                          jnp.where(start_end, rlens - 1, res["ref_max_pos"]),

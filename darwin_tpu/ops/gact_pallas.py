@@ -55,6 +55,11 @@ LANES = 128
 # single-shot runs swing +-20% with tunnel phase, so re-tune via
 # DARWIN_TPU_PCOL on dedicated hardware.
 PCOL = int(_os.environ.get("DARWIN_TPU_PCOL", "8"))
+if PCOL <= 0 or PCOL % 8 != 0:
+    # the traceback sweep blocks columns in groups of 8; a non-multiple
+    # would silently leave trailing trace columns unswept
+    raise ValueError(f"DARWIN_TPU_PCOL must be a positive multiple of 8, "
+                     f"got {PCOL}")
 NEG16 = -(1 << 28)
 
 

@@ -91,9 +91,14 @@ def reduce_counters(counters: dict) -> dict:
     if jax.process_count() == 1:
         return dict(counters)
     keys = sorted(counters)
-    local = np.asarray([counters[k] for k in keys], np.int32)
+    # x64-disabled jax would truncate int64/float64 transport, so ship
+    # each counter as (hi, lo) int32 30-bit limbs and recombine on host —
+    # exact for counters up to 2^60
+    vals = np.asarray([counters[k] for k in keys], np.int64)
+    local = np.stack([(vals >> 30).astype(np.int32),
+                      (vals & ((1 << 30) - 1)).astype(np.int32)])
     total = np.asarray(mhu.process_allgather(local), np.int64)
-    summed = total.sum(axis=0)
+    summed = (total[:, 0] << 30).sum(axis=0) + total[:, 1].sum(axis=0)
     return {k: int(v) for k, v in zip(keys, summed)}
 
 

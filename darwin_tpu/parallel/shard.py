@@ -49,14 +49,19 @@ def replicate(mesh: Mesh, *arrays):
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 
-@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb"))
+@functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
+                                             "prefix_gaps"))
 def _extend_step(ref_codes, query_codes, r_start, r_size, q_start, q_size,
-                 rev, params, qt, rt, max_tb):
+                 rev, params, qt, rt, max_tb, prefix_gaps=True):
+    # prefix_gaps must be resolved by the caller from CONCRETE params:
+    # inside this jit the params are tracers and gact's auto-detection
+    # would silently default to the prefix scan for generic scorings
     qtile, rtile = gather_tiles(ref_codes, query_codes, r_start, r_size,
                                 q_start, q_size, rev, qt, rt)
     res = gact.align_and_traceback(
         qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
-        jnp.ones(r_start.shape, bool), params, max_tb, all_start_end=True)
+        jnp.ones(r_start.shape, bool), params, max_tb, all_start_end=True,
+        prefix_gaps=prefix_gaps)
     return res
 
 
@@ -70,7 +75,8 @@ def sharded_extend_tiles(mesh: Mesh, ref_codes, query_codes, r_start, r_size,
     (r_start, r_size, q_start, q_size, rev) = shard_batch(
         mesh, r_start, r_size, q_start, q_size, rev)
     return _extend_step(ref_codes, query_codes, r_start, r_size, q_start,
-                        q_size, rev, params, qt, rt, max_tb)
+                        q_size, rev, params, qt, rt, max_tb,
+                        prefix_gaps=gact.prefix_ok(params))
 
 
 @functools.cache
@@ -155,35 +161,53 @@ class MeshDispatcher:
         m = self.n * 128 if use_pallas() else max(self.n, 8)
         return -(-b // m) * m
 
-    def extend_tiles(self, ref_codes, query_codes, r_start, r_size, q_start,
-                     q_size, rev, params, *, qt, rt, max_tb):
+    def extend_tiles_async(self, ref_codes, query_codes, r_start, r_size,
+                           q_start, q_size, rev, params, *, qt, rt,
+                           max_tb):
+        """Enqueue one extension round; the returned resolve() performs
+        every blocking fetch (including the fast-sweep spill check), so a
+        caller with several tile-shape groups per round can enqueue them
+        all and overlap compute with fetch/decode — same contract as
+        ops.dispatch.extend_tiles_async."""
         B = int(r_start.shape[0])
         (r_start, r_size, q_start, q_size, rev) = self._shard(
             r_start, r_size, q_start, q_size, rev)
         if use_pallas_for(params):
             from darwin_tpu.ops import gact_pallas
-            step = _pallas_extend_step(
-                self.mesh, gact_pallas._static_params(params), qt, rt,
-                max_tb)
-            out = step(ref_codes, query_codes, r_start, r_size, q_start,
-                       q_size, rev)
-            if bool(np.any(np.asarray(out["spill"]))):
-                step = _pallas_extend_step(
-                    self.mesh, gact_pallas._static_params(params), qt, rt,
-                    max_tb, safe=True)
-                out = step(ref_codes, query_codes, r_start, r_size,
-                           q_start, q_size, rev)
-            out.pop("spill")
-            rec = out.pop("rec")
-            qsteps = out.pop("q_steps_all")
-            rsteps = out.pop("r_steps_all")
-            L = min(qt + rec.shape[0], 2 * max_tb)
-            ops, n_ops = gact_pallas._expand_records(np.asarray(rec), B, L)
-            return out | {"ops": ops, "n_ops": n_ops,
-                          "q_steps": np.asarray(qsteps)[:B],
-                          "r_steps": np.asarray(rsteps)[:B]}
-        return _extend_step(ref_codes, query_codes, r_start, r_size,
-                            q_start, q_size, rev, params, qt, rt, max_tb)
+            ps = gact_pallas._static_params(params)
+            step = _pallas_extend_step(self.mesh, ps, qt, rt, max_tb)
+            out0 = step(ref_codes, query_codes, r_start, r_size, q_start,
+                        q_size, rev)
+
+            def resolve():
+                out = out0
+                if bool(np.any(np.asarray(out["spill"]))):
+                    safe = _pallas_extend_step(self.mesh, ps, qt, rt,
+                                               max_tb, safe=True)
+                    out = safe(ref_codes, query_codes, r_start, r_size,
+                               q_start, q_size, rev)
+                out = dict(out)
+                out.pop("spill")
+                rec = out.pop("rec")
+                qsteps = out.pop("q_steps_all")
+                rsteps = out.pop("r_steps_all")
+                L = min(qt + rec.shape[0], 2 * max_tb)
+                ops, n_ops = gact_pallas._expand_records(np.asarray(rec),
+                                                         B, L)
+                return out | {"ops": ops, "n_ops": n_ops,
+                              "q_steps": np.asarray(qsteps)[:B],
+                              "r_steps": np.asarray(rsteps)[:B]}
+            return resolve
+        res = _extend_step(ref_codes, query_codes, r_start, r_size,
+                           q_start, q_size, rev, params, qt, rt, max_tb,
+                           prefix_gaps=gact.prefix_ok(params))
+        return lambda: res
+
+    def extend_tiles(self, ref_codes, query_codes, r_start, r_size, q_start,
+                     q_size, rev, params, *, qt, rt, max_tb):
+        return self.extend_tiles_async(
+            ref_codes, query_codes, r_start, r_size, q_start, q_size, rev,
+            params, qt=qt, rt=rt, max_tb=max_tb)()
 
     def extend_tiles_spec_async(self, ref_codes, query_codes, r_start,
                                 r_size, q_start, q_size, rev, chrom_start,
@@ -193,18 +217,15 @@ class MeshDispatcher:
         as ops.dispatch.extend_tiles_spec_async."""
         from darwin_tpu.ops import gact_pallas
         from darwin_tpu.ops.dispatch import (SPEC_K, _make_spec_resolver,
+                                             _pack_spec_requests,
                                              check_int16_packing)
         check_int16_packing(params, qt, rt, max_tb)
         B = int(np.asarray(r_start).shape[0])
         K = SPEC_K
-        rows = [np.asarray(r_start, np.uint64), np.asarray(r_size, np.uint64),
-                np.asarray(q_start, np.uint64), np.asarray(q_size, np.uint64),
-                np.asarray(rev).astype(np.uint64),
-                np.asarray(chrom_start, np.uint64),
-                np.asarray(chrom_len, np.uint64),
-                np.asarray(q_buf_start, np.uint64),
-                np.asarray(q_len, np.uint64)]
-        req = jax.device_put(np.stack(rows).astype(np.uint32),
+        req_np, r_start64, q_start64 = _pack_spec_requests(
+            r_start, r_size, q_start, q_size, rev, chrom_start, chrom_len,
+            q_buf_start, q_len)
+        req = jax.device_put(req_np,
                              NamedSharding(self.mesh, P(None, "data")))
         ps = gact_pallas._static_params(params)
         step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb, stop_thr, K)
@@ -216,8 +237,7 @@ class MeshDispatcher:
             return safe_step(ref_codes, query_codes, req)
 
         return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt,
-                                   max_tb, rows[0].astype(np.int64),
-                                   rows[2].astype(np.int64))
+                                   max_tb, r_start64, q_start64)
 
     def first_tile_scores(self, ref_codes, query_codes, r_start, r_size,
                           q_start, q_size, params, *, qt, rt):

@@ -593,11 +593,11 @@ class ExtensionManager:
                             stop_thr=min(rt, qt) - cfg.tile_overlap)
                         rounds.append((items, resolve, rev))
                         continue
-                    res = self.mesh.extend_tiles(
+                    resolve = self.mesh.extend_tiles_async(
                         refc, self.q_codes_dev, r_start, r_size, q_start,
                         q_size, rev, self.params,
                         qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
-                    rounds.append((items, lambda res=res: res, rev))
+                    rounds.append((items, resolve, rev))
                 elif spec_ok and (rt, qt) == (T, T):
                     # speculative second tile chained on device; accepted
                     # below only when the device-computed request equals
