@@ -57,6 +57,13 @@ class Config:
     # --- [Multithreading] ---
     num_threads: int = 48
 
+    # --- [FPGA] ---
+    # The reference's pluggable-kernel hook (a DLL path selecting the
+    # accelerator implementation, software/main.cpp:237-255).  Here the
+    # analogous knob selects the compute backend: "" = auto (Pallas on
+    # TPU, lax elsewhere), "pallas" or "lax" to force.
+    processor_library: str = ""
+
     # --- TPU-specific knobs (no reference equivalent) ---
     # Device batch of tiles per GACT dispatch (the reference's batch of 2 is
     # a CPU artifact; thousands of tiles per launch is the TPU design point,
@@ -165,6 +172,9 @@ def load_config(path: str = "params.cfg", do_overlap: bool = False) -> Config:
     cfg.batch_size = geti("GACT_extend", "batch_size", cfg.batch_size)
 
     cfg.num_threads = geti("Multithreading", "num_threads", cfg.num_threads)
+
+    cfg.processor_library = v.get(("FPGA", "processor_library"),
+                                  cfg.processor_library)
 
     cfg.do_overlap = do_overlap
     return cfg

@@ -224,6 +224,12 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     err = err or sys.stderr
     cfg = cfg or Config()
     cfg.do_overlap = do_overlap
+    if cfg.processor_library in ("pallas", "lax"):
+        # the reference's pluggable-kernel hook (params.cfg [FPGA]
+        # processor_library); maps to the backend selector
+        os.environ["DARWIN_TPU_KERNEL"] = cfg.processor_library
+        from darwin_tpu.ops.dispatch import use_pallas
+        use_pallas.cache_clear()
 
     print("Loading reference genome ...", file=err)
     t0 = time.time()

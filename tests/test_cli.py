@@ -108,3 +108,14 @@ def test_cli_usage_error(capsys):
     from darwin_tpu import cli
     assert cli.main(["only_one_arg"]) == 1
     assert "Usage" in capsys.readouterr().err
+
+
+def test_processor_library_selects_backend(tmp_path):
+    """params.cfg [FPGA] processor_library maps to the kernel backend
+    selector (the reference's pluggable accelerator DLL hook,
+    main.cpp:237-255)."""
+    p = tmp_path / "params.cfg"
+    p.write_text("[FPGA]\nprocessor_library = lax\n")
+    cfg = load_config(str(p))
+    assert cfg.processor_library == "lax"
+    assert Config().processor_library == ""
