@@ -131,3 +131,37 @@ def test_mhap_byte_identical(tmp_path):
     our_out = _our_cli(reads_path, reads_path, True, tmp_path)
     assert ref_out == our_out
     assert len(ref_out.splitlines()) >= 10   # real overlap records found
+
+
+NONDEFAULT_CFG = """[GACT_scoring]
+sub_AA=2\nsub_AC=-6\nsub_AG=-6\nsub_AT=-6\nsub_CC=2\nsub_CG=-6\nsub_CT=-6
+sub_GG=2\nsub_GT=-6\nsub_TT=2\nsub_N=-1
+gap_open=-4\ngap_extend=-2\nlong_gap_open=-25\nlong_gap_extend=-1
+[DSOFT_params]
+seed_size=12\nminimizer_window=5\nbin_size=32\nthreshold=20
+num_seeds=500\nseed_occurence_multiple=40\nmax_candidates=1000\nmax_stride=2
+[GACT_first_tile]
+first_tile_size=96\nfirst_tile_score_threshold=40\nfirst_tile_batch_size=64
+slope_threshold=0.1\nmin_overlap=600
+[GACT_extend]
+tile_size=256\ntile_overlap=32\nbatch_size=2
+[Multithreading]
+num_threads=48
+"""
+
+
+def test_sam_byte_identical_nondefault_config(tmp_path):
+    """Byte-identity must hold under a non-default params.cfg too
+    (k/w/bin/threshold/stride, 96/256-sized tiles, different filter
+    thresholds) — locks the whole config plumb-through end-to-end."""
+    from darwin_tpu.utils.simulate import simulate_reads
+    (tmp_path / "params.cfg").write_text(NONDEFAULT_CFG)
+    store = _yeast_store()
+    reads = [(n, s) for n, s, _ in simulate_reads(store, 8, 2000, seed=77)]
+    reads_path = tmp_path / "reads.fa"
+    _write_fa(reads_path, reads)
+    ref_out = rb.run(REF, str(reads_path), False, str(tmp_path))
+    our_out = _our_cli(REF, reads_path, False, tmp_path)
+    assert ref_out == our_out
+    assert len([l for l in ref_out.splitlines()
+                if not l.startswith("@")]) >= 6
