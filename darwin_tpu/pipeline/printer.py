@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import List
 
+import numpy as np
+
 from darwin_tpu.genome import GenomeStore
 from darwin_tpu.pipeline.extend import ExtendAlignment
 
@@ -23,31 +25,25 @@ def sam_header(store: GenomeStore) -> str:
 
 
 def _cigar(e: ExtendAlignment) -> str:
+    """CIGAR from the aligned strings (printer.cpp:219-292) — vectorized
+    run-length encoding (the per-character loop was ~1.6 ms per 10 kb
+    read, a visible host cost at full throughput)."""
     out = []
     if e.query_start_offset > 0:
         out.append(f"{e.query_start_offset}S")
-    ref = e.aligned_reference
-    q = e.aligned_query
+    ref = np.frombuffer(bytes(e.aligned_reference), np.uint8)
+    q = np.frombuffer(bytes(e.aligned_query), np.uint8)
     assert len(ref) == len(q)
-    prev = None
-    n = 0
-    dash = ord("-")
-    for i in range(len(ref)):
-        if ref[i] == dash:
-            op = "I"
-        elif q[i] == dash:
-            op = "D"
-        else:
-            op = "M"
-        if op == prev:
-            n += 1
-        else:
-            if n > 0:
-                out.append(f"{n}{prev}")
-            n = 1
-            prev = op
-    if n > 0:
-        out.append(f"{n}{prev}")
+    if len(ref):
+        dash = np.uint8(ord("-"))
+        ops = np.where(ref == dash, np.uint8(ord("I")),
+                       np.where(q == dash, np.uint8(ord("D")),
+                                np.uint8(ord("M"))))
+        bounds = np.concatenate(
+            ([0], np.nonzero(np.diff(ops))[0] + 1, [len(ops)]))
+        lens = np.diff(bounds)
+        chars = ops[bounds[:-1]]
+        out.extend(f"{int(l)}{chr(c)}" for l, c in zip(lens, chars))
     tail = e.query_length - e.query_end_offset - 1
     if tail > 0:
         out.append(f"{tail}S")
