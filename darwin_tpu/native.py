@@ -64,7 +64,7 @@ def _load():
         lib.fasta_seq_bytes.argtypes = [_p8, _i64]
         lib.fasta_seq_bytes.restype = _i64
         lib.chain_anchors.argtypes = [
-            _p32, _p32, _p32, _i64, _p32, _p32, _p32, _i64, _i64,
+            _p64, _p32, _p32, _i64, _p32, _p32, _p64, _i64, _i64,
             _pu64, _p64, _pu64, _p64, _p32, _p64, _i64]
         lib.chain_anchors.restype = _i64
         lib.decode_ops.argtypes = [
@@ -100,12 +100,14 @@ def chain_anchors_native(hits_bin, hits_off, hits_pos, n_hits,
             (np.asarray(a[:n], np.int64)
              & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32))
 
-    hb = np.ascontiguousarray(hits_bin[:n_hits], np.int32)
+    # bins use int64 (bin values reach 2^32-2 for bin_size=1 on a full
+    # uint32 address space)
+    hb = np.ascontiguousarray(hits_bin[:n_hits], np.int64)
     ho = np.ascontiguousarray(hits_off[:n_hits], np.int32)
     hp = as_u32_bits(hits_pos, n_hits)
     ap = as_u32_bits(anc_pos, n_anc)
     ao = np.ascontiguousarray(anc_off[:n_anc], np.int32)
-    ab = np.ascontiguousarray(anc_bin[:n_anc], np.int32)
+    ab = np.ascontiguousarray(anc_bin[:n_anc], np.int64)
     cap = max(int(n_hits) * 2, 64)
     while True:
         left = np.empty(cap, np.uint64)

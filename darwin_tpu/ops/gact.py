@@ -367,7 +367,7 @@ def _batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
     r_pos = jnp.where(start_end, rlens - 1, best_r)
     out = {"score": score, "query_max_pos": q_pos, "ref_max_pos": r_pos}
     if with_trace:
-        out["trace"] = trace  # (RT, B, QT) int16
+        out["trace"] = trace  # (RT, B, QT) uint8
     return out
 
 
@@ -379,66 +379,6 @@ _ST_INS = T8_INS     # 2
 _ST_DEL_L = T8_DEL_L # 3
 _ST_INS_L = T8_INS_L # 4
 _ST_DONE = 0
-
-
-@functools.partial(jax.jit, static_argnames=("max_tb_steps", "n_valid"))
-def batch_traceback_cols(trace_cols, start_q, start_r, max_tb_steps,
-                         n_valid=None):
-    """Batched traceback over the (RT, QT, B) column-major trace layout
-    emitted by the Pallas DP kernel (gact_pallas) — identical walk to
-    batch_traceback, with the per-step word gathered along axis 0 of the
-    flattened (RT*QT, B) table (no transpose of the trace needed).
-
-    n_valid trims lane-padding added by the kernel (B rounded up to 128).
-    """
-    RT, QT, B = trace_cols.shape
-    tr2d = trace_cols.reshape(RT * QT, B)
-    if n_valid is None:
-        n_valid = B
-    L = min(QT + RT, 2 * max_tb_steps)
-    UNROLL = 8
-    n_iter = -(-L // UNROLL)
-    start_q = jnp.pad(start_q.astype(jnp.int32), (0, B - n_valid))
-    start_r = jnp.pad(start_r.astype(jnp.int32), (0, B - n_valid))
-
-    def substep(state):
-        i, j, qs, rs, st = state
-        capped = (qs == max_tb_steps) | (rs == max_tb_steps)
-        oob = (i < 0) | (j < 0)
-        st = jnp.where(capped | oob, _ST_DONE, st)
-        idx = jnp.clip(j, 0, RT - 1) * QT + jnp.clip(i, 0, QT - 1)
-        w = jnp.take_along_axis(tr2d, idx[None, :], axis=0)[0]
-        return _tb_transition(w, i, j, qs, rs, st)
-
-    # while_loop with an all-lanes-done early exit: a typical extend-tile
-    # path is ~tile_size ops, roughly half of the worst-case bound L, and
-    # the serial per-step gather is the single most expensive part of the
-    # whole dispatch — stop as soon as every lane has terminated.
-    def cond(carry):
-        t, state, _ = carry
-        st = state[4]
-        return (t < n_iter) & jnp.any(st != _ST_DONE)
-
-    def step(carry):
-        t, state, ops_buf = carry
-        ops = []
-        for _k in range(UNROLL):
-            state, op = substep(state)
-            ops.append(op)
-        ops_buf = jax.lax.dynamic_update_slice(
-            ops_buf, jnp.stack(ops), (t * UNROLL, 0))
-        return (t + 1, state, ops_buf)
-
-    zeros = jnp.zeros((B,), jnp.int32)
-    state0 = (start_q, start_r, zeros, zeros,
-              jnp.full((B,), _ST_DIAG, jnp.int32))
-    ops_buf0 = jnp.full((n_iter * UNROLL, B), orc.OP_NONE, jnp.uint8)
-    _, (i, j, qs, rs, st), ops = jax.lax.while_loop(
-        cond, step, (jnp.int32(0), state0, ops_buf0))
-    ops = ops.T[:n_valid]
-    n = jnp.sum((ops != orc.OP_NONE).astype(jnp.int32), axis=1)
-    return {"ops": ops, "n_ops": n,
-            "q_steps": qs[:n_valid], "r_steps": rs[:n_valid]}
 
 
 def _tb_transition(w, i, j, qs, rs, st):

@@ -752,7 +752,9 @@ def _tb_kernel_safe(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref,
     def _fin():
         qsteps_ref[:] = qs
         rsteps_ref[:] = rs
-        spill_ref[:] = sp
+        # the while-based walker handles multi-run columns directly and
+        # therefore never spills
+        spill_ref[:] = jnp.zeros((1, LANES), jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -963,7 +965,8 @@ def _static_params(params: gact.GactParams):
 def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
                 with_trace=True, all_start_end=False, interpret=False):
     """Drop-in for gact.batch_align, trace returned in (RT, QT, B) layout
-    (use gact.batch_traceback_cols, or transpose for the (RT, B, QT) one)."""
+    (walk with _tb_call, or transpose for gact.batch_traceback's
+    (RT, B, QT) layout)."""
     return _dp_call(qcodes, rcodes, qlens, rlens, start_end,
                     _static_params(params), with_trace, all_start_end,
                     interpret)

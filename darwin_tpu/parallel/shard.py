@@ -119,6 +119,24 @@ def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
 
 
 @functools.cache
+def _pallas_first_tiles_step(mesh: Mesh, params_static, qt, rt,
+                             axis: str = "data"):
+    """shard_map'd filter-stage step: each device gathers and scores its
+    local slice of the first-tile batch."""
+    from jax.experimental.shard_map import shard_map
+    from darwin_tpu.ops.dispatch import _first_tiles_pallas
+
+    spec_cols = P(None, axis)
+
+    def step(refc, qc, req):
+        return _first_tiles_pallas(refc, qc, req, params_static, qt, rt)
+
+    return jax.jit(shard_map(
+        step, mesh=mesh, in_specs=(P(), P(), spec_cols),
+        out_specs=spec_cols, check_rep=False))
+
+
+@functools.cache
 def _pallas_spec_step(mesh: Mesh, params_static, qt, rt, max_tb, stop_thr,
                       K, axis: str = "data", safe: bool = False):
     """shard_map'd speculative K-tile extension round: each device runs
@@ -241,8 +259,35 @@ class MeshDispatcher:
 
     def first_tile_scores(self, ref_codes, query_codes, r_start, r_size,
                           q_start, q_size, params, *, qt, rt):
-        from darwin_tpu.ops.dispatch import first_tile_scores as _fts
+        """Filter-stage dispatch with the tile batch genuinely sharded:
+        shard_map'd Pallas program per device (like extend_tiles), or the
+        lax path with batch-dim sharding propagated under jit — the
+        single-device dispatch.first_tile_scores would re-pack to a
+        replicated batch and compute it on every device."""
+        from darwin_tpu.ops import gact
+        from darwin_tpu.ops.dispatch import (_batch_align_scores,
+                                             _pack_requests, gather_tiles,
+                                             use_pallas_for)
+        if use_pallas_for(params):
+            from darwin_tpu.ops import gact_pallas
+            req = jax.device_put(
+                np.asarray(_pack_requests(r_start, r_size, q_start,
+                                          q_size)),
+                NamedSharding(self.mesh, P(None, "data")))
+            step = _pallas_first_tiles_step(
+                self.mesh, gact_pallas._static_params(params), qt, rt)
+            packed = step(ref_codes, query_codes, req)
+            return {"score": packed[0], "query_max_pos": packed[1],
+                    "ref_max_pos": packed[2]}
         (r_start, r_size, q_start, q_size) = self._shard(
-            r_start, r_size, q_start, q_size)
-        return _fts(ref_codes, query_codes, r_start, r_size, q_start,
-                    q_size, params, qt=qt, rt=rt)
+            np.asarray(r_start, np.uint64).astype(np.uint32),
+            np.asarray(r_size, np.int32),
+            np.asarray(q_start, np.uint64).astype(np.uint32),
+            np.asarray(q_size, np.int32))
+        B = r_start.shape[0]
+        qtile, rtile = gather_tiles(ref_codes, query_codes, r_start,
+                                    r_size, q_start, q_size,
+                                    jnp.zeros((B,), bool), qt, rt)
+        return _batch_align_scores(qtile, rtile, q_size.astype(jnp.int32),
+                                   r_size.astype(jnp.int32),
+                                   jnp.zeros((B,), bool), params)

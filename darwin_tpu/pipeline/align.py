@@ -95,7 +95,6 @@ class Aligner:
         strands dispatch before either fetches."""
         cfg = self.cfg
         batch = flt.build_first_tiles(reads, anchors_per_read,
-                                      0 if strand == "+" else 1,
                                       self.store, cfg)
         n = len(batch.meta)
         counters["num_filter_tiles"] += n
@@ -138,7 +137,7 @@ class Aligner:
         qmax = np.asarray(res["query_max_pos"])[:n]
         counters["num_extend_requests"] += int(
             (scores >= cfg.first_tile_score_threshold).sum())
-        locs = flt.collect_locations(batch, scores, rmax, qmax, reads,
+        locs = flt.collect_locations(batch, scores, rmax, qmax,
                                      self.store, cfg)
         return flt.slope_filter(locs, cfg, counters)
 

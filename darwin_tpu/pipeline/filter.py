@@ -45,10 +45,11 @@ class FilterTileBatch:
     r_size: np.ndarray
     q_start: np.ndarray      # offset into the strand-local query sequence
     q_size: np.ndarray
-    meta: list               # per tile: (read_num, strand_idx, anchor)
+    meta: list               # per tile: (read_num, chr_id, anchor,
+                              #           ref_tile_start, query_tile_start)
 
 
-def build_first_tiles(reads, anchors_per_read, strand_idx: int,
+def build_first_tiles(reads, anchors_per_read,
                       store: GenomeStore, cfg) -> FilterTileBatch:
     """anchors_per_read: list (per read) of chain.Anchor for one strand."""
     T = cfg.first_tile_size
@@ -75,7 +76,7 @@ def build_first_tiles(reads, anchors_per_read, strand_idx: int,
 
 
 def collect_locations(batch: FilterTileBatch, scores, r_max, q_max,
-                      reads, store: GenomeStore, cfg) -> List[ExtendLocation]:
+                      store: GenomeStore, cfg) -> List[ExtendLocation]:
     """Threshold + overlap test + ExtendLocations (software/filter.cpp:85-120)."""
     out = []
     for i, (read_num, chr_id, a, rts, qts) in enumerate(batch.meta):

@@ -170,9 +170,12 @@ def _bucket_hits_flat(positions, offs, bucket_range, cnt_global,
     pos = jnp.take(positions, gidx)                      # uint32
     of_u = of.astype(jnp.uint32)
     hit_ok = ok_slot & (pos >= of_u)
-    binf = jnp.where(hit_ok,
-                     ((pos - of_u) // jnp.uint32(bin_size))
-                     .astype(jnp.int32), I32MAX)
+    # bins stay uint32: (pos - off) // bin_size reaches 2^32-2 for
+    # bin_size=1 on a full-address-width genome (the reference keeps the
+    # bin in the upper half of a uint64 key).  The all-ones sentinel is
+    # unreachable by valid bins (pos <= ref_size-1 < 2^32-1).
+    binf = jnp.where(hit_ok, (pos - of_u) // jnp.uint32(bin_size),
+                     jnp.uint32(0xFFFFFFFF))
     okf = hit_ok.astype(jnp.int32)
     return binf, of, pos, okf, bucket_ok, total
 
@@ -191,8 +194,9 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
     n_hits = jnp.sum(okf, axis=1)
 
     # ---- per-bin counting (software/seed_pos_table.cpp:352-389) ----
+    # "no previous bin" sentinel: all-ones, unreachable by valid bins
     prev_bin = jnp.concatenate(
-        [jnp.full((B, 1), -1, jnp.int32), sbin[:, :-1]], axis=1)
+        [jnp.full((B, 1), 0xFFFFFFFF, jnp.uint32), sbin[:, :-1]], axis=1)
     prev_off = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), soff[:, :-1]], axis=1)
     valid = sok == 1
@@ -241,8 +245,8 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
              n_flat_raw; the caller must retry with a bigger cap.
 
     Returns dict of device arrays:
-      hits_bin/hits_off/hits_pos : (B, H) int32 sorted hits (invalid tail
-                                   has bin == I32MAX)
+      hits_bin/hits_off/hits_pos : (B, H) sorted hits (bin/pos uint32;
+                                   invalid tail has bin == 0xFFFFFFFF)
       n_hits                     : (B,) int32
       n_flat_raw                 : (B,) int32 flat slots needed (overflow
                                    check against hit_cap)

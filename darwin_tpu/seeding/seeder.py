@@ -148,16 +148,18 @@ class Seeder:
             return (jax.lax.bitcast_convert_type(x, jnp.int32)
                     if x.dtype == jnp.uint32 else x)
 
-        ph = np.asarray(jnp.stack([res_dev["hits_bin"][:, :mh],
+        ph = np.asarray(jnp.stack([as_i32(res_dev["hits_bin"][:, :mh]),
                                    res_dev["hits_off"][:, :mh],
                                    as_i32(res_dev["hits_pos"][:, :mh])]))
         pa = np.asarray(jnp.stack([as_i32(res_dev["anc_pos"][:, :ma]),
                                    res_dev["anc_off"][:, :ma],
-                                   res_dev["anc_bin"][:, :ma]]))
-        res["hits_bin"], res["hits_off"] = ph[0], ph[1]
+                                   as_i32(res_dev["anc_bin"][:, :ma])]))
+        res["hits_bin"] = ph[0].view(np.uint32).astype(np.int64)
+        res["hits_off"] = ph[1]
         res["hits_pos"] = ph[2].view(np.uint32).astype(np.int64)
         res["anc_pos"] = pa[0].view(np.uint32).astype(np.int64)
-        res["anc_off"], res["anc_bin"] = pa[1], pa[2]
+        res["anc_off"] = pa[1]
+        res["anc_bin"] = pa[2].view(np.uint32).astype(np.int64)
 
         # unreachable after the retry loop (a_cap grows to the lossless
         # ceiling mq_cap*max_occ, which n_anchors_raw cannot exceed)

@@ -142,10 +142,10 @@ int64_t fasta_seq_bytes(const uint8_t* data, int64_t n) {
 // exceeds `cap`, nothing past cap is written (caller retries bigger).
 // ---------------------------------------------------------------------------
 
-int64_t chain_anchors(const int32_t* hits_bin, const int32_t* hits_off,
+int64_t chain_anchors(const int64_t* hits_bin, const int32_t* hits_off,
                       const int32_t* hits_pos, int64_t n_hits,
                       const int32_t* anc_pos, const int32_t* anc_off,
-                      const int32_t* anc_bin, int64_t n_anc,
+                      const int64_t* anc_bin, int64_t n_anc,
                       int64_t sv,
                       uint64_t* left_out, int64_t* left_offsets,
                       uint64_t* right_out, int64_t* right_offsets,
@@ -160,12 +160,10 @@ int64_t chain_anchors(const int32_t* hits_bin, const int32_t* hits_off,
                         | (uint32_t)anc_off[a];
         // window [curr_bin - sv, curr_bin + sv) via binary search
         int64_t wlo = std::lower_bound(hits_bin, hits_bin + n_hits,
-                                       (int32_t)std::max<int64_t>(
-                                           curr_bin - sv, INT32_MIN))
+                                       curr_bin - sv)
                       - hits_bin;
         int64_t whi = std::lower_bound(hits_bin, hits_bin + n_hits,
-                                       (int32_t)std::min<int64_t>(
-                                           curr_bin + sv, INT32_MAX))
+                                       curr_bin + sv)
                       - hits_bin;
         (void)lo;
         wleft.clear();

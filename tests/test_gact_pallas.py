@@ -142,3 +142,65 @@ def test_pallas_large_tile_strips(rng):
         n = int(reft["n_ops"][b])
         np.testing.assert_array_equal(ops_ref[b, :n], ops_pal[b, :n],
                                       err_msg=f"tile {b}")
+
+
+def test_safe_traceback_kernel_and_spill(rng):
+    """The while-based safe sweep (_tb_kernel_safe) is the recovery path
+    when the fast sweep spills on a multi-run column; it must (a) compile
+    and run, (b) agree with the fast kernel on ordinary traces, and (c)
+    correctly walk a hand-built multi-run column that makes the fast
+    kernel raise its spill flag."""
+    # (a)+(b): ordinary batch, fast vs safe bit-identical, no spill
+    B, QT, RT = 8, 64, 64
+    qcodes, rcodes, qlens, rlens, _ = _make_batch(rng, B, QT, RT)
+    se = np.ones(B, bool)
+    res = gact_pallas.batch_align(
+        jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
+        jnp.asarray(rlens), jnp.asarray(se), PARAMS, with_trace=True,
+        all_start_end=True, interpret=True)
+    tbq = jnp.asarray(qlens - 1)
+    tbr = jnp.asarray(rlens - 1)
+    rec_f, qs_f, rs_f, spill = gact_pallas._tb_call(
+        res["trace"], tbq, tbr, 2 * QT, True)
+    rec_s, qs_s, rs_s, spill_s = gact_pallas._tb_call(
+        res["trace"], tbq, tbr, 2 * QT, True, safe=True)
+    assert not np.asarray(spill).any()
+    assert not np.asarray(spill_s).any()
+    np.testing.assert_array_equal(np.asarray(rec_f), np.asarray(rec_s))
+    np.testing.assert_array_equal(np.asarray(qs_f), np.asarray(qs_s))
+    np.testing.assert_array_equal(np.asarray(rs_f), np.asarray(rs_s))
+
+    # (c): synthetic trace with TWO I-runs in one column (only reachable
+    # through exact gap-lane ties in real scorings)
+    QT2, RT2 = 32, 8
+    tr = np.zeros((RT2, QT2, 128), np.uint8)
+    INS, INS_L, DIAG = gact.T8_INS, gact.T8_INS_L, gact.T8_DIAG
+    tr[3, 5, 0] = INS                       # run 1: ext
+    tr[3, 4, 0] = INS | gact.F_OPEN8        # run 1: open -> DIAG
+    tr[3, 3, 0] = INS_L | gact.FL_OPEN8     # run 2 (one cell) -> DIAG
+    tr[3, 2, 0] = DIAG                      # closing M
+    tr[2, 1, 0] = 0                         # ZERO: walk ends
+    sq = np.array([5], np.int32)
+    sr = np.array([3], np.int32)
+    rec_f, qsf, rsf, spill = gact_pallas._tb_call(
+        jnp.asarray(tr), jnp.asarray(sq), jnp.asarray(sr), 64, True)
+    assert np.asarray(spill)[0] == 1        # fast kernel flags the case
+    rec_s, qss, rss, spill_s = gact_pallas._tb_call(
+        jnp.asarray(tr), jnp.asarray(sq), jnp.asarray(sr), 64, True,
+        safe=True)
+    assert np.asarray(spill_s)[0] == 0
+    ops, n_ops = gact_pallas._expand_records(
+        np.asarray(rec_s)[:, :1], 1, QT2 + RT2)
+    assert list(ops[0][:int(n_ops[0])]) == [1, 1, 1, 3]  # I I I M
+    assert int(np.asarray(qss)[0]) == 4 and int(np.asarray(rss)[0]) == 1
+    # lax walker agrees on the same trace (row layout; it takes full-B
+    # start vectors, inactive lanes start at -1)
+    sq_p = np.full(128, -1, np.int32)
+    sr_p = np.full(128, -1, np.int32)
+    sq_p[0], sr_p[0] = sq[0], sr[0]
+    lax_tb = gact.batch_traceback(
+        jnp.asarray(tr.transpose(0, 2, 1)), jnp.asarray(sq_p),
+        jnp.asarray(sr_p), 64)
+    assert list(np.asarray(lax_tb["ops"])[0][:4]) == [1, 1, 1, 3]
+    assert int(lax_tb["q_steps"][0]) == 4
+    assert int(lax_tb["r_steps"][0]) == 1

@@ -217,3 +217,60 @@ def test_prefix_lut_ranges_match_searchsorted(rng):
     s0, e0 = _bucket_ranges(t.sorted_hashes, qd)      # plain searchsorted
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e0))
+
+
+def test_bin_size_one_high_addresses(rng):
+    """bin_size=1 on a genome positioned past 2^31: bins reach the full
+    uint32 range (the reference keeps the bin in a uint64 key's upper
+    half) — the device pipeline and host chaining must shift exactly with
+    the address offset, with no int32 truncation anywhere."""
+    import jax.numpy as jnp
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore
+    from darwin_tpu.index.seed_table import SeedTable, build_seed_table
+    from darwin_tpu.seeding.seeder import Seeder
+
+    cfg = Config()
+    cfg.seed_size = 10
+    cfg.dsoft_threshold = 20
+    cfg.bin_size = 1
+    store = GenomeStore()
+    genome = rng.choice(list(b"ACGT"), size=9000).astype(np.uint8)
+    store.add_chromosome("c", genome)
+    store.finalize()
+    table = build_seed_table(store, cfg)
+
+    OFF = 3_000_000_000
+    hi_table = SeedTable(
+        sorted_hashes=table.sorted_hashes,
+        positions=jnp.asarray(
+            (np.asarray(table.positions).astype(np.uint64)
+             + np.uint64(OFF)).astype(np.uint32)),
+        kmer_size=table.kmer_size,
+        minimizer_window=table.minimizer_window,
+        ref_size=table.ref_size + OFF,
+        kmer_max_occurence=table.kmer_max_occurence)
+
+    from darwin_tpu.genome import make_read
+    from darwin_tpu.utils.simulate import simulate_reads
+    reads = [make_read(n, s)
+             for n, s, _ in simulate_reads(store, 3, 1200, seed=3)]
+
+    lo = Seeder(table, cfg).seed_batch(reads)
+    hi = Seeder(hi_table, cfg).seed_batch(reads)
+    n_anchors = 0
+    for a_lo, a_hi in zip(lo.fw_anchors + lo.rc_anchors,
+                          hi.fw_anchors + hi.rc_anchors):
+        assert len(a_lo) == len(a_hi)
+        for x, y in zip(a_lo, a_hi):
+            n_anchors += 1
+            assert y.hit == x.hit + OFF
+            assert y.offset == x.offset
+            assert y.num_chained_hits == x.num_chained_hits
+            assert y.anchor_score == x.anchor_score
+            shift = np.uint64(OFF) << np.uint64(32)
+            np.testing.assert_array_equal(
+                y.left_chained, x.left_chained + shift)
+            np.testing.assert_array_equal(
+                y.right_chained, x.right_chained + shift)
+    assert n_anchors > 0
