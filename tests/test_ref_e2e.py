@@ -165,3 +165,26 @@ def test_sam_byte_identical_nondefault_config(tmp_path):
     assert ref_out == our_out
     assert len([l for l in ref_out.splitlines()
                 if not l.startswith("@")]) >= 6
+
+
+def test_sam_byte_identical_fastq_with_n(tmp_path):
+    """FASTQ input (the kseq parse path on both sides) with N-run-bearing
+    reads — N handling flows through hashing, the N sub-matrix row, and
+    the printers identically."""
+    from darwin_tpu.utils.simulate import simulate_reads
+    store = _yeast_store()
+    rng = np.random.default_rng(5)
+    reads_path = tmp_path / "r.fq"
+    with open(reads_path, "w") as f:
+        for i, (n, s, _) in enumerate(simulate_reads(store, 8, 2000,
+                                                     seed=5)):
+            seq = np.asarray(s, np.uint8).copy()
+            if i % 2 == 0:
+                p = int(rng.integers(100, len(seq) - 60))
+                seq[p:p + int(rng.integers(3, 40))] = ord("N")
+            sq = bytes(seq).decode()
+            f.write(f"@{n} extra comment\n{sq}\n+\n{'I' * len(sq)}\n")
+    ref_out = rb.run(REF, str(reads_path), False, str(tmp_path))
+    our_out = _our_cli(REF, reads_path, False, tmp_path)
+    assert ref_out == our_out
+    assert len(ref_out.splitlines()) >= 8
