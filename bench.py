@@ -12,9 +12,41 @@ terminal sync (tunnel round-trips would otherwise dominate).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def run_smoke(platform: str) -> str:
+    """Real-hardware Mosaic gate: run tools/tpu_smoke.py (Pallas vs lax
+    bit-identity on representative shapes) before benchmarking, so a
+    lowering regression fails loudly here instead of surfacing as a wrong
+    GCUPS number.  Returns "pass"/"skipped"; exits non-zero on failure."""
+    if platform == "cpu" or os.environ.get("DARWIN_TPU_SKIP_SMOKE"):
+        return "skipped"
+    root = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "tpu_smoke.py")],
+        capture_output=True, text=True, timeout=3600, env=env)
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    try:
+        info = json.loads(lines[-1]) if lines else {}
+    except json.JSONDecodeError:
+        info = {"ok": False, "raw": lines[-1][:200]}
+    if proc.returncode != 0 or not info.get("ok"):
+        print(json.dumps({
+            "metric": "gact_gcups", "value": 0.0, "unit": "GCUPS",
+            "vs_baseline": 0.0, "smoke": "fail",
+            "smoke_detail": info.get("failures", info),
+        }))
+        sys.stderr.write(proc.stderr[-2000:])
+        sys.exit(1)
+    return "pass"
 
 
 def main():
@@ -32,6 +64,7 @@ def main():
     params = gact.make_params(cfg)
     T = cfg.tile_size            # 384, the production extend-tile geometry
     platform = jax.devices()[0].platform
+    smoke = run_smoke(platform)
     B = 512 if platform != "cpu" else 32
     NBUF = 16 if platform != "cpu" else 2
 
@@ -77,7 +110,7 @@ def main():
     # fresh stacks with different values (the tunnel caches identical calls)
     rng2 = np.random.default_rng(1)
     stacks = []
-    for s in range(5):
+    for s in range(10):
         q2 = np.asarray(qstack).copy()
         flip = rng2.random(q2.shape) < 0.05
         q2[flip] = (q2[flip] + 1 + s) % 4
@@ -93,22 +126,27 @@ def main():
     int(tiny(jnp.int32(1)))
     rtt = time.perf_counter() - t0
 
-    # best of 5 samples: a single timing through the shared tunnel can
-    # catch a multi-second slow spell; the minimum tracks the device's
-    # real throughput
-    dt = float("inf")
+    # median of 10 samples (each sample = NBUF rounds inside one device
+    # program): the shared tunnel's phase swings are +-20%, so the median
+    # is the honest "typical" number; min/max are reported alongside.
+    times = []
     for q2 in stacks:
         t0 = time.perf_counter()
         sink = int(rounds(q2, rstack))
-        dt = min(dt, max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF)
+        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF)
 
     cells = B * T * T
-    gcups = cells / dt / 1e9
+    samples = sorted(cells / t / 1e9 for t in times)
+    gcups = float(np.median(samples))
     print(json.dumps({
         "metric": "gact_gcups",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 100.0, 4),
+        "smoke": smoke,
+        "n_samples": len(samples),
+        "min": round(samples[0], 3),
+        "max": round(samples[-1], 3),
     }))
 
 

@@ -95,6 +95,15 @@ class GenomeStore:
 
     def add_chromosome(self, name: str, seq_bytes: np.ndarray) -> Chromosome:
         padded = pad_to(seq_bytes, WORD_SIZE)
+        if len(padded) >= 1 << 31:
+            # the genome SPACE is uint32/4 GiB, but several device paths
+            # (speculative tile clamping, dispatch.py::_extend_round_spec_
+            # pallas cl32) carry per-chromosome lengths in int32 — check the
+            # stated invariant once at load instead of leaving it implicit
+            raise ValueError(
+                f"chromosome {name!r} is {len(seq_bytes)} bases; single "
+                "chromosomes must be < 2^31 (the multi-chromosome genome "
+                "space is uint32/4 GiB)")
         chrom = Chromosome(
             name=name,
             start=self._size,

@@ -45,9 +45,12 @@ def use_pallas_for(params) -> bool:
 
 
 # memoized by params identity + geometry (reading params.sub is a
-# blocking device fetch; this runs per dispatch in the hot loop)
+# blocking device fetch; this runs per dispatch in the hot loop).
+# Bounded like gact._PARAMS_CACHE: past the cap both structures reset, so
+# long-lived processes cannot grow them without bound.
 _PACK_CHECK_CACHE: dict = {}
 _PACK_CHECK_KEEP: list = []
+_PACK_CHECK_MAX = 256
 
 
 def check_int16_packing(params, qt: int, rt: int, max_tb: int):
@@ -68,6 +71,9 @@ def check_int16_packing(params, qt: int, rt: int, max_tb: int):
             f"tile geometry ({qt}x{rt}, max_tb={max_tb}) with this scoring "
             f"overflows the int16 packed result (score bound {bound}); "
             "reduce tile_size or the scoring magnitudes")
+    if len(_PACK_CHECK_KEEP) >= _PACK_CHECK_MAX:
+        _PACK_CHECK_CACHE.clear()
+        _PACK_CHECK_KEEP.clear()
     _PACK_CHECK_CACHE[key] = True
     _PACK_CHECK_KEEP.append(params)
 
@@ -282,6 +288,21 @@ def _device_consumed(rec, r_size, q_size, stop_thr, max_ops):
 SPEC_K = int(os.environ.get("DARWIN_TPU_SPEC_K", "12"))
 
 
+def _subset_requests(req, idx) -> jnp.ndarray:
+    """Columns ``idx`` of a packed request matrix, padded to a 128-lane
+    multiple with benign rows (sizes 1, everything else 0) — the spilled
+    lanes of a round gathered into their own small rerun batch."""
+    r = np.asarray(req)
+    nrows = r.shape[0]
+    bs = max(128, -(-len(idx) // 128) * 128)
+    out = np.zeros((nrows, bs), r.dtype)
+    for row in (1, 3, 6, 8):          # r_size, q_size, chrom_len, q_len
+        if row < nrows:
+            out[row] = 1
+    out[:, :len(idx)] = r[:, idx]
+    return jnp.asarray(out)
+
+
 def _pack_spec_requests(r_start, r_size, q_start, q_size, rev, chrom_start,
                         chrom_len, q_buf_start, q_len):
     """Row layout consumed by _extend_round_spec_pallas (rows 0..8);
@@ -415,11 +436,14 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
         ref_codes, query_codes, req, gact_pallas._static_params(params),
         qt, rt, max_tb, stop_thr, K)
 
-    def rerun_safe():
-        return _extend_round_spec_pallas(
-            ref_codes, query_codes, req,
+    def rerun_safe(idx):
+        # per-lane recovery: only the spilled lanes rerun with the safe
+        # sweep; returns (packed, source column per idx entry)
+        sub = _extend_round_spec_pallas(
+            ref_codes, query_codes, _subset_requests(req, idx),
             gact_pallas._static_params(params), qt, rt, max_tb,
             stop_thr, K, safe=True)
+        return sub, np.arange(len(idx))
 
     return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt, max_tb,
                                r_start64, q_start64)
@@ -428,13 +452,18 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
 def _make_spec_resolver(packed_dev, rerun_safe, B, K, qt, max_tb,
                         r_start64, q_start64):
     """Shared resolve() for the speculative packed result (single-device
-    and mesh paths)."""
+    and mesh paths).  ``rerun_safe(idx)`` -> (packed_subset, cols): the
+    safe-sweep results for spilled lanes ``idx``, found at columns
+    ``cols`` of the returned matrix."""
     from darwin_tpu.ops import gact_pallas
 
     def resolve():
         packed = np.asarray(packed_dev)
-        if packed[-1].any():  # fast-sweep spill: rerun with safe kernel
-            packed = np.asarray(rerun_safe())
+        spilled = np.flatnonzero(packed[-1][:B] != 0)
+        if spilled.size:  # fast-sweep spill: safe rerun of those lanes
+            sub, cols = rerun_safe(spilled)
+            packed = np.array(packed)
+            packed[:, spilled] = np.asarray(sub)[:, cols]
         nrows = packed.shape[0]
         RTp = (nrows - 6 - 4 * (K - 1)) // K
         L = min(qt + RTp, 2 * max_tb)
@@ -535,11 +564,14 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
 
         def resolve():
             packed = np.asarray(packed_dev)
-            if packed[-1].any():  # fast-sweep spill: rerun with safe kernel
-                packed = np.asarray(_extend_round_pallas(
-                    ref_codes, query_codes, req,
+            spilled = np.flatnonzero(packed[-1][:B] != 0)
+            if spilled.size:  # fast-sweep spill: safe rerun, spilled lanes
+                sub = np.asarray(_extend_round_pallas(
+                    ref_codes, query_codes, _subset_requests(req, spilled),
                     gact_pallas._static_params(params), qt, rt, max_tb,
                     safe=True))
+                packed = np.array(packed)
+                packed[:, spilled] = sub[:, :spilled.size]
             rec, tail = packed[:-6], packed[-6:]
             L = min(qt + rec.shape[0], 2 * max_tb)
             ops, n_ops = gact_pallas._expand_records(rec, B, L)

@@ -83,29 +83,43 @@ class GactParams(NamedTuple):
 # prefix_ok/window results memoized by params identity: the fields are
 # tiny device arrays, so int() is a blocking device fetch (milliseconds
 # through a network-attached TPU) that must not run per dispatch.  The
-# keep-list pins the params objects so ids stay unique.
+# keep-list pins the params objects so ids stay unique; it is bounded —
+# past _PARAMS_CACHE_MAX distinct params objects both structures reset
+# (ids may then be reused, but only after the cache referencing them is
+# gone), so a long-lived process creating many Aligners cannot grow them
+# without bound.
 _PARAMS_CACHE: dict = {}
 _PARAMS_KEEP: list = []
+_PARAMS_CACHE_MAX = 256
+
+
+def _params_memo_put(key, value, params):
+    if len(_PARAMS_KEEP) >= _PARAMS_CACHE_MAX:
+        _PARAMS_CACHE.clear()
+        _PARAMS_KEEP.clear()
+    _PARAMS_CACHE[key] = value
+    _PARAMS_KEEP.append(params)
 
 
 def prefix_ok(params) -> bool:
     """Whether the scoring admits the prefix-max gap scan (opening never
     cheaper than extending, both lanes).  Scorings outside this domain
     (the reference accepts any, software/Processor.cpp:48-80) route
-    through the generic max-plus scan on the lax kernel.  Returns True
-    for traced params (jit callers are production paths, which are gated
-    at dispatch level on concrete values — see use_pallas_for and the
-    mesh dispatcher, which resolve this before tracing)."""
+    through the generic max-plus scan.  Raises on traced params — a jit
+    caller must resolve this from concrete values before tracing (see
+    use_pallas_for and the mesh dispatcher) and pass an explicit
+    ``prefix_gaps`` bool; silently guessing here would pick the wrong DP
+    for generic scorings."""
     key = ("prefix_ok", id(params))
     if key in _PARAMS_CACHE:
         return _PARAMS_CACHE[key]
-    try:
-        ok = (int(params.gap_open) <= int(params.gap_extend)
-              and int(params.long_gap_open) <= int(params.long_gap_extend))
-    except Exception:
-        return True  # tracers: do not cache
-    _PARAMS_CACHE[key] = ok
-    _PARAMS_KEEP.append(params)
+    if isinstance(params.gap_open, jax.core.Tracer):
+        raise TypeError(
+            "prefix_ok(params) needs concrete scoring values; resolve it "
+            "outside the jit trace and pass prefix_gaps explicitly")
+    ok = (int(params.gap_open) <= int(params.gap_extend)
+          and int(params.long_gap_open) <= int(params.long_gap_extend))
+    _params_memo_put(key, ok, params)
     return ok
 
 
@@ -225,20 +239,23 @@ def _shift_q(x, fill):
 
 
 def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
-                with_trace=True, prefix_gaps=True, all_start_end=False):
+                with_trace=True, prefix_gaps=None, all_start_end=False):
     """Align a batch of tiles.
 
     qcodes: (B, QT) uint8 5-letter codes; rcodes: (B, RT).
     qlens/rlens: (B,) int32 actual sizes (1..QT / 1..RT).
     start_end: (B,) bool — align_fields bit 0 (score at the end cell) vs
     max-cell mode.
+    prefix_gaps: None = auto-detect from concrete params (raises under a
+    jit trace); an explicit bool is trusted (jit callers resolve it via
+    prefix_ok before tracing).
 
     Returns dict with score, query_max_pos, ref_max_pos (all (B,) int32) and,
     if with_trace, trace of shape (RT, B, QT) uint8 (trace[r, b, q], 8-bit
     layout above).
     """
     QT = qcodes.shape[1]
-    if prefix_gaps:
+    if prefix_gaps is None:
         # scorings with opening cheaper than extending invalidate the
         # prefix-max formulation — auto-route to the generic max-plus scan
         prefix_gaps = prefix_ok(params)
@@ -250,8 +267,7 @@ def batch_align(qcodes, rcodes, qlens, rlens, start_end, params,
             wins = orc.gap_scan_windows(
                 params.gap_open, params.gap_extend, params.long_gap_open,
                 params.long_gap_extend, QT)
-            _PARAMS_CACHE[key] = wins
-            _PARAMS_KEEP.append(params)
+            _params_memo_put(key, wins, params)
         except Exception:
             # params are tracers (called under an outer jit): full scans.
             # Walked results are window-invariant, so mixing is harmless.
@@ -465,7 +481,7 @@ def batch_traceback(trace, start_q, start_r, max_tb_steps):
 
 def align_and_traceback(qcodes, rcodes, qlens, rlens, start_end, params,
                         max_tb_steps, all_start_end=False,
-                        prefix_gaps=True):
+                        prefix_gaps=None):
     """One-dispatch DP + traceback; only compact results leave the device.
 
     Traceback starts at (qlen-1, rlen-1) for start_end tiles and at the max

@@ -1006,9 +1006,30 @@ def align_and_traceback(qcodes, rcodes, qlens, rlens, start_end, params,
     tb_r = jnp.where(start_end, rlens - 1, res["ref_max_pos"])
     rec, qsteps, rsteps, spill = _tb_call(res["trace"], tb_q, tb_r,
                                           max_tb_steps, interpret)
-    if bool(np.any(np.asarray(spill))):
-        rec, qsteps, rsteps, _ = _tb_call(res["trace"], tb_q, tb_r,
-                                          max_tb_steps, interpret, safe=True)
+    spill_h = np.asarray(spill)
+    if bool(np.any(spill_h)):
+        # per-lane recovery: rerun ONLY the spilled lanes (gathered into a
+        # 128-multiple batch; padding lanes get start -1 = inactive)
+        # through the while-based safe sweep, instead of paying a
+        # whole-batch rerun for one tie-dense lane
+        idx = np.flatnonzero(spill_h)
+        bs = max(LANES, _round_up(len(idx), LANES))
+        idx_pad = np.zeros(bs, np.int64)
+        idx_pad[:len(idx)] = idx
+        tr_sub = jnp.take(res["trace"], jnp.asarray(idx_pad), axis=2)
+        sq_sub = np.full(bs, -1, np.int32)
+        sq_sub[:len(idx)] = np.asarray(tb_q)[idx]
+        sr_sub = np.full(bs, -1, np.int32)
+        sr_sub[:len(idx)] = np.asarray(tb_r)[idx]
+        rec_s, qs_s, rs_s, _ = _tb_call(
+            tr_sub, jnp.asarray(sq_sub), jnp.asarray(sr_sub),
+            max_tb_steps, interpret, safe=True)
+        rec = np.array(rec)
+        rec[:, idx] = np.asarray(rec_s)[:, :len(idx)]
+        qsteps = np.array(qsteps)
+        qsteps[idx] = np.asarray(qs_s)[:len(idx)]
+        rsteps = np.array(rsteps)
+        rsteps[idx] = np.asarray(rs_s)[:len(idx)]
     out = {k: v for k, v in res.items() if k != "trace"}
     rec = np.asarray(rec)
     L = min(qcodes.shape[1] + rec.shape[0], 2 * max_tb_steps)

@@ -249,10 +249,13 @@ class MeshDispatcher:
         step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb, stop_thr, K)
         packed_dev = step(ref_codes, query_codes, req)
 
-        def rerun_safe():
+        def rerun_safe(idx):
+            # mesh lanes are device-sharded, so the safe rerun keeps the
+            # whole (sharded) batch and the resolver picks columns idx out
+            # of the full-width result
             safe_step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb,
                                           stop_thr, K, safe=True)
-            return safe_step(ref_codes, query_codes, req)
+            return safe_step(ref_codes, query_codes, req), np.asarray(idx)
 
         return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt,
                                    max_tb, r_start64, q_start64)

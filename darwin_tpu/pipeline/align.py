@@ -39,6 +39,11 @@ def new_counters():
         "num_extend_tiles": 0,
         "num_active_tiles": 0,
         "num_large_tiles": 0,
+        # --- non-reference telemetry (printed after the byte-compatible
+        # counter block): speculative-chain acceptance + dispatch rounds ---
+        "num_spec_hits": 0,
+        "num_spec_misses": 0,
+        "num_extend_rounds": 0,
     }
 
 
@@ -183,6 +188,11 @@ class Aligner:
         return printer.sam_lines(alignments, reads, self.store)
 
 
+# whether a prior run() exported DARWIN_TPU_KERNEL from cfg.processor_library
+# (so a later default-config run() can clear it instead of inheriting it)
+_kernel_env_forced = False
+
+
 def enable_compile_cache():
     """Persistent XLA compilation cache (kernel variants take ~30-60s to
     compile each; cached binaries load in seconds).  Default
@@ -226,7 +236,16 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     if cfg.processor_library in ("pallas", "lax"):
         # the reference's pluggable-kernel hook (params.cfg [FPGA]
         # processor_library); maps to the backend selector
+        global _kernel_env_forced
         os.environ["DARWIN_TPU_KERNEL"] = cfg.processor_library
+        _kernel_env_forced = True
+        from darwin_tpu.ops.dispatch import use_pallas
+        use_pallas.cache_clear()
+    elif _kernel_env_forced:
+        # a previous run() in this process forced a backend; a default
+        # config must not silently inherit it
+        os.environ.pop("DARWIN_TPU_KERNEL", None)
+        _kernel_env_forced = False
         from darwin_tpu.ops.dispatch import use_pallas
         use_pallas.cache_clear()
 
@@ -305,6 +324,14 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     print(f"#extend tiles: {c['num_extend_tiles']}", file=err)
     print(f"#active tiles: {c['num_active_tiles']}", file=err)
     print(f"#large tiles: {c['num_large_tiles']}", file=err)
+    # non-reference telemetry (the block above is byte-compatible with the
+    # reference's, software/main.cpp:713-719; these extra lines are
+    # prefixed so nothing can mistake them for it)
+    h, m = c["num_spec_hits"], c["num_spec_misses"]
+    rate = h / (h + m) if (h + m) else float("nan")
+    print(f"[darwin_tpu] #spec hits: {h}  #spec misses: {m}  "
+          f"hit rate: {rate:.3f}  #extend rounds: {c['num_extend_rounds']}",
+          file=err)
     print(f"Time elapsed (aligning reads): "
           f"{int((time.time() - t0) * 1000)} msec", file=err)
     return c

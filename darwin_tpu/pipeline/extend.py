@@ -546,6 +546,8 @@ class ExtensionManager:
                    and not os.environ.get("DARWIN_TPU_NO_SPEC"))
         cached_req = {}    # ei -> request computed during failed speculation
         while live:
+            counters["num_extend_rounds"] = (
+                counters.get("num_extend_rounds", 0) + 1)
             # group live extensions by tile shape
             reqs = {}
             for ei in live:
@@ -651,9 +653,13 @@ class ExtensionManager:
                                 and e.q_code_start + qs2 == int(sr[2][b])
                                 and qsz2 == int(sr[3][b])):
                             self.spec_hits += 1
+                            counters["num_spec_hits"] = (
+                                counters.get("num_spec_hits", 0) + 1)
                             accepted.append((b, ei))
                         else:
                             self.spec_misses += 1
+                            counters["num_spec_misses"] = (
+                                counters.get("num_spec_misses", 0) + 1)
                             cached_req[ei] = (rs2, rsz2, qs2, qsz2, rv2,
                                               shape2)
                     if not accepted:

@@ -204,3 +204,57 @@ def test_safe_traceback_kernel_and_spill(rng):
     assert list(np.asarray(lax_tb["ops"])[0][:4]) == [1, 1, 1, 3]
     assert int(lax_tb["q_steps"][0]) == 4
     assert int(lax_tb["r_steps"][0]) == 1
+
+
+def test_per_lane_spill_recovery(rng, monkeypatch):
+    """When the fast sweep spills, align_and_traceback must rerun ONLY the
+    spilled lanes (gathered into a 128-multiple batch) through the safe
+    kernel — not the whole batch — and still produce identical results.
+    Forced here by patching _tb_call to raise a phantom spill on two lanes
+    (fast and safe agree on ordinary traces, so the merged output must
+    equal the unpatched run)."""
+    B, QT, RT = 160, 48, 48          # pads to 256 lanes; recovery uses 128
+    qcodes, rcodes, qlens, rlens, _ = _make_batch(rng, B, QT, RT)
+    se = np.ones(B, bool)
+    args = (jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
+            jnp.asarray(rlens), jnp.asarray(se), PARAMS)
+    clean = gact_pallas.align_and_traceback(*args, 2 * QT, interpret=True)
+
+    orig = gact_pallas._tb_call
+    calls = []
+
+    def spy(trace, sq, sr, max_tb, interpret, safe=False):
+        rec, qs, rs, spill = orig(trace, sq, sr, max_tb, interpret,
+                                  safe=safe)
+        calls.append((safe, trace.shape[2]))
+        if not safe and len(calls) == 1:
+            spill = jnp.asarray(spill).at[3].set(1).at[140].set(1)
+        return rec, qs, rs, spill
+
+    monkeypatch.setattr(gact_pallas, "_tb_call", spy)
+    pat = gact_pallas.align_and_traceback(*args, 2 * QT, interpret=True)
+    # one fast call over the full batch + one safe call over 128 gathered
+    # lanes (2 spilled lanes -> one lane block, NOT the 256-lane batch)
+    assert calls == [(False, 256), (True, 128)]
+    np.testing.assert_array_equal(np.asarray(clean["n_ops"]),
+                                  np.asarray(pat["n_ops"]))
+    np.testing.assert_array_equal(np.asarray(clean["ops"]),
+                                  np.asarray(pat["ops"]))
+    np.testing.assert_array_equal(np.asarray(clean["q_steps"]),
+                                  np.asarray(pat["q_steps"]))
+    np.testing.assert_array_equal(np.asarray(clean["r_steps"]),
+                                  np.asarray(pat["r_steps"]))
+
+
+def test_subset_requests():
+    from darwin_tpu.ops.dispatch import _subset_requests
+    req = np.arange(9 * 7, dtype=np.uint32).reshape(9, 7)
+    idx = np.array([2, 5])
+    sub = np.asarray(_subset_requests(req, idx))
+    assert sub.shape == (9, 128)
+    np.testing.assert_array_equal(sub[:, 0], req[:, 2])
+    np.testing.assert_array_equal(sub[:, 1], req[:, 5])
+    # benign padding: sizes 1 (rows 1/3/6/8), addresses 0
+    assert (sub[1, 2:] == 1).all() and (sub[3, 2:] == 1).all()
+    assert (sub[6, 2:] == 1).all() and (sub[8, 2:] == 1).all()
+    assert (sub[0, 2:] == 0).all() and (sub[2, 2:] == 0).all()

@@ -98,10 +98,19 @@ def main():
     store.finalize()
     sim = simulate_reads(store, 8, 3000, seed=2)
     reads = [make_read(n, s) for n, s, _ in sim]
-    single = Aligner(cfg2, store).align_batch(reads)
+    single_al = Aligner(cfg2, store)
+    single = single_al.align_batch(reads)
     meshed = Aligner(cfg2, store, mesh=make_mesh(1)).align_batch(reads)
     check("mesh:identical", single == meshed)
     check("mesh:nonempty", len(single) >= 4)
+
+    # 5. speculation telemetry: on this straight-line workload the
+    # device-predicted chain requests should almost always match the host
+    # decode (K=12 chains are pointless otherwise)
+    h = single_al.counters["num_spec_hits"]
+    m = single_al.counters["num_spec_misses"]
+    check("spec:ran", h + m > 0)
+    check("spec:hit_rate>0.8", h + m > 0 and h / (h + m) > 0.8)
 
     print(json.dumps({"platform": platform, "ok": not failures,
                       "failures": failures}))
