@@ -299,6 +299,110 @@ def _sort_pairs(hcat, pcat):
     return jax.lax.sort((hcat, pcat), num_keys=2)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w"),
+                   donate_argnums=(9, 10))
+def _chunk_scan_pairs_accum(rows, off, istart, iend, nvalid, first,
+                            resume0, carry_prev, goff, buf_h, buf_p, woff,
+                            k: int, w: int):
+    """One streaming build step: scan a row batch, compact its emitted
+    (hash, pos) pairs to the front (device sort, sentinels last), and
+    append them to the donated accumulator buffers at running offset
+    ``woff`` — no host synchronization anywhere in the stream.
+
+    The anchor carry chains on device: row 0 of a resuming batch takes
+    ``carry_prev`` (the previous batch's last-row carry), exactly the
+    host-side chaining of scan_sorted_pairs_device.  Trailing sentinel
+    slots written past woff+nem are overwritten by the next batch (or
+    sorted past the final N and sliced off).
+    """
+    B = rows.shape[0]
+    # carry_prev applies ONLY to a batch whose row 0 continues the
+    # previous batch's sequence (resume0); a row-0 that starts a new
+    # sequence resets its anchor to 0 like every other s==0 row
+    carry_in = jnp.zeros((B,), jnp.int32).at[0].set(
+        jnp.where(resume0 != 0, carry_prev, 0))
+    h, p, carry_out, nem = _chunk_scan_pairs(
+        rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
+    hs, ps = _sort_pairs(h, p)          # sentinels compact to the tail
+    buf_h = jax.lax.dynamic_update_slice(buf_h, hs, (woff,))
+    buf_p = jax.lax.dynamic_update_slice(buf_p, ps, (woff,))
+    return buf_h, buf_p, woff + nem, carry_out[B - 1]
+
+
+def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int):
+    """Streaming device build for genomes past the all-candidates gate
+    (DEVICE_BUILD_MAX_BASES): transient HBM is ~8 B per EMITTED seed (the
+    accumulator) plus one row batch, instead of ~8 B per scanned position.
+
+    The reference's answer at this scale is a parallel bucket scatter +
+    per-bucket sorts (software/seed_pos_table.cpp:143-174); the TPU answer
+    is compact-and-append per 2 Mbp batch, then ONE device sort of the
+    compacted pairs.  Output is identical to scan_sorted_pairs_device
+    (keys are unique, so any (hash, pos) sort agrees).
+
+    cap: accumulator capacity in pairs.  Returns (sorted_h, sorted_p,
+    n_or_minus1): n_or_minus1 < 0 means the cap overflowed (caller retries
+    with a larger cap; detection is conservative — the final batch's slot
+    tail must also fit).
+    """
+    halo = w + 1
+    CL = CHUNK + halo + k - 1
+    CL = ((CL + 15) // 16) * 16
+
+    nvalids = []
+    work = []
+    for si, (codes2, length_unpadded, _g) in enumerate(seqs):
+        r16 = ((length_unpadded + 15) // 16) * 16
+        nvalid = r16 - k
+        nvalids.append(nvalid)
+        for s in range(0, max(nvalid, 1), CHUNK):
+            work.append((si, s))
+
+    slot_len = CROWS * CL
+    buf_h = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
+    buf_p = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
+    woff = jnp.int32(0)
+    carry_prev = jnp.int32(0)
+
+    for base in range(0, len(work), CROWS):
+        batch = work[base:base + CROWS]
+        # fresh host buffers per batch: the stream never host-syncs, so
+        # jnp.asarray uploads may still be in flight when the next batch
+        # is packed — reusing one mutable buffer here corrupts them
+        rows_np = np.zeros((CROWS, CL), np.uint8)
+        off = np.zeros(CROWS, np.int32)
+        istart = np.zeros(CROWS, np.int32)
+        iend = np.zeros(CROWS, np.int32)
+        nv = np.zeros(CROWS, np.int32)
+        first = np.zeros(CROWS, np.int32)
+        goff = np.zeros(CROWS, np.int32)
+        for i, (si, s) in enumerate(batch):
+            codes2 = seqs[si][0]
+            o = max(s - halo, 0)
+            seg_ = codes2[o:o + CL]
+            rows_np[i, :len(seg_)] = seg_
+            rows_np[i, len(seg_):] = 0
+            off[i] = o
+            istart[i] = s
+            iend[i] = min(s + CHUNK, nvalids[si])
+            nv[i] = nvalids[si]
+            goff[i] = seqs[si][2]
+            if s == 0 or i == 0:
+                first[i] = 1
+        resume0 = 1 if batch[0][1] != 0 else 0
+        buf_h, buf_p, woff, carry_prev = _chunk_scan_pairs_accum(
+            jnp.asarray(rows_np), jnp.asarray(off), jnp.asarray(istart),
+            jnp.asarray(iend), jnp.asarray(nv), jnp.asarray(first),
+            jnp.int32(resume0), carry_prev, jnp.asarray(goff),
+            buf_h, buf_p, woff, k, w)
+
+    n = int(woff)
+    if n > cap:        # dynamic_update_slice clamps: data was overwritten
+        return None, None, -n
+    sh, sp = _sort_pairs(buf_h, buf_p)
+    return sh[:n], sp[:n], n
+
+
 def scan_sorted_pairs_device(seqs, k: int, w: int):
     """Device-resident seed-table build: minimizer scan + (hash, position)
     sort without any per-position host round trip.

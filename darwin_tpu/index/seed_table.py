@@ -25,11 +25,14 @@ import numpy as np
 from darwin_tpu.genome import GenomeStore
 from darwin_tpu.index.minimizers import (minimizer_scan,
                                          scan_many_minimizers,
-                                         scan_sorted_pairs_device)
+                                         scan_sorted_pairs_device,
+                                         scan_sorted_pairs_streaming)
 
-# device-build gate: the on-device pair sort transiently holds ~8 bytes per
-# scanned position; past this, build on the host (sharded builds for
-# >HBM genomes route through parallel/shard_index anyway)
+# all-candidates device build gate: the on-device pair sort transiently
+# holds ~8 bytes per SCANNED position; past this the streaming build takes
+# over (~8 bytes per EMITTED seed — scan_sorted_pairs_streaming), which
+# carries a 3.2 Gbp / 651 M-seed genome in ~5 GB of HBM.  Sharded builds
+# for >HBM TABLES route through parallel/shard_index.
 DEVICE_BUILD_MAX_BASES = 512 << 20
 
 
@@ -118,12 +121,17 @@ class SeedTable:
         )
 
 
-def build_seed_table(store: GenomeStore, cfg) -> SeedTable:
+def build_seed_table(store: GenomeStore, cfg,
+                     method: str | None = None) -> SeedTable:
     """Build the table from a finalized GenomeStore.
 
     Mirrors the index phase (software/main.cpp:307-509): per-chromosome
     minimizer scans (emission state resets per chromosome), positions are
     absolute coordinates (local p + chromosome start, software/main.cpp:340).
+
+    method: None = auto (all-candidates device build under the gate,
+    streaming device build past it); "host" forces the numpy argsort path
+    (identity oracle for tests); "stream" forces the streaming build.
     """
     k, w = cfg.seed_size, cfg.minimizer_window
     assert 3 < k <= 15, "reference constraint (software/main.cpp:310-311)"
@@ -139,10 +147,24 @@ def build_seed_table(store: GenomeStore, cfg) -> SeedTable:
     # (or hosts without an accelerator worth the upload) take the host path
     # with identical output order (unique keys: stable argsort over
     # (hash << 32 | pos) == lexicographic (hash, pos) sort).
-    if 0 < store.size <= DEVICE_BUILD_MAX_BASES:
+    if method is None:
+        method = ("device" if 0 < store.size <= DEVICE_BUILD_MAX_BASES
+                  else "stream" if store.size > 0 else "host")
+    if method in ("device", "stream"):
         seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded,
                  c.start) for c in store.chromosomes]
-        sh, sp = scan_sorted_pairs_device(seqs, k, w)
+        if method == "device":
+            sh, sp = scan_sorted_pairs_device(seqs, k, w)
+        else:
+            # streaming build: ~8 B of HBM per emitted seed; the cap is an
+            # estimate (expected minimizer density 2/(w+1)) with a lossless
+            # doubling retry — repeat-heavy genomes emit up to ~1/w
+            cap = int(store.size * 2.4 / (w + 1)) + (1 << 22)
+            while True:
+                sh, sp, n = scan_sorted_pairs_streaming(seqs, k, w, cap)
+                if n >= 0:
+                    break
+                cap = max(2 * cap, -n + (1 << 22))
         return SeedTable(
             sorted_hashes=sh,
             positions=sp,

@@ -180,16 +180,46 @@ def test_device_table_build_matches_host(rng):
     store.finalize()
     cfg = Config()
     t_dev = st.build_seed_table(store, cfg)
-    old = st.DEVICE_BUILD_MAX_BASES
-    st.DEVICE_BUILD_MAX_BASES = 0
-    try:
-        t_host = st.build_seed_table(store, cfg)
-    finally:
-        st.DEVICE_BUILD_MAX_BASES = old
+    t_host = st.build_seed_table(store, cfg, method="host")
     np.testing.assert_array_equal(np.asarray(t_dev.sorted_hashes),
                                   np.asarray(t_host.sorted_hashes))
     np.testing.assert_array_equal(np.asarray(t_dev.positions),
                                   np.asarray(t_host.positions))
+
+
+def test_streaming_table_build_matches_host(rng):
+    """The streaming accumulator build (the >512 Mbp path: per-batch
+    compaction + device append + one global sort) must equal the host
+    path bit-for-bit, including cross-batch anchor carries and the
+    cap-overflow retry."""
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore
+    from darwin_tpu.index import minimizers as mz
+    from darwin_tpu.index import seed_table as st
+
+    store = GenomeStore()
+    # > one CROWS x CHUNK batch (2 Mbp) so carries chain across batches;
+    # plus small/odd chromosomes exercising new-sequence resets at batch
+    # boundaries
+    for i, L in enumerate((2_300_000, 123_456, 17, 50_000)):
+        seq = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, L)]
+        store.add_chromosome(f"c{i}", seq)
+    store.finalize()
+    cfg = Config()
+    t_str = st.build_seed_table(store, cfg, method="stream")
+    t_host = st.build_seed_table(store, cfg, method="host")
+    np.testing.assert_array_equal(np.asarray(t_str.sorted_hashes),
+                                  np.asarray(t_host.sorted_hashes))
+    np.testing.assert_array_equal(np.asarray(t_str.positions),
+                                  np.asarray(t_host.positions))
+
+    # overflow detection: a too-small cap must report a negative count
+    # (the retry in build_seed_table then doubles it — same final table)
+    seqs = [(store.codes2[c.start:c.start + c.length], c.length_unpadded,
+             c.start) for c in store.chromosomes]
+    k, w = cfg.seed_size, cfg.minimizer_window
+    _, _, n = mz.scan_sorted_pairs_streaming(seqs, k, w, cap=1024)
+    assert n < 0
 
 
 def test_prefix_lut_ranges_match_searchsorted(rng):
