@@ -68,6 +68,11 @@ class Aligner:
         self.table = table or build_seed_table(store, cfg)
         self.seeder = Seeder(self.table, cfg,
                              mesh=mesh if shard_index else None)
+        # wall-clock per pipeline stage (single-threaded profiling aid —
+        # pipelined runs interleave stages, so use pipeline_depth=1 when
+        # reading these; tools/bigref_profile.py)
+        self.stage_seconds: dict = {}
+        self.seeder.stage_seconds = self.stage_seconds
         self.params = gact.make_params(cfg)
         self.counters = new_counters()
         self._ref_codes = None
@@ -157,25 +162,45 @@ class Aligner:
         if counters is None:
             counters = self.counters
         counters["num_reads"] += len(reads)
+        tacc = self.stage_seconds
+
+        def _t():
+            return time.perf_counter()
+
+        t0 = _t()
         mgr = ExtensionManager(self.store, reads, cfg, self.params,
                                mesh_dispatch=self.mesh_dispatch,
                                ref_codes_dev=self._ref_codes_dev())
+        mgr.stage_seconds = tacc
+        tacc["read_upload"] = tacc.get("read_upload", 0.0) + _t() - t0
+        t0 = _t()
         seeded = self.seeder.seed_batch(reads)
+        tacc["seed"] = tacc.get("seed", 0.0) + _t() - t0
+        t0 = _t()
         fw_d = self._filter_dispatch(reads, seeded.fw_anchors, "+",
                                      counters, mgr)
         rc_d = self._filter_dispatch(reads, seeded.rc_anchors, "-",
                                      counters, mgr)
         fw_locs = self._filter_collect(fw_d, reads, counters)
         rc_locs = self._filter_collect(rc_d, reads, counters)
+        tacc["filter"] = tacc.get("filter", 0.0) + _t() - t0
 
         # group per read, per strand (fw then rc), preserving slope-filter
         # order within the group — the reference's effective one-read batches
+        fw_by_read = [[] for _ in reads]
+        rc_by_read = [[] for _ in reads]
+        for l in fw_locs:       # single pass, preserves slope-filter order
+            fw_by_read[l.read_num].append(l)
+        for l in rc_locs:
+            rc_by_read[l.read_num].append(l)
         groups = []
         for i in range(len(reads)):
-            groups.append((i, "+", [l for l in fw_locs if l.read_num == i]))
-            groups.append((i, "-", [l for l in rc_locs if l.read_num == i]))
+            groups.append((i, "+", fw_by_read[i]))
+            groups.append((i, "-", rc_by_read[i]))
 
+        t0 = _t()
         emitted = mgr.run(groups, reads, counters)
+        tacc["extend"] = tacc.get("extend", 0.0) + _t() - t0
 
         # per read: fw emissions then rc emissions (extender_body order)
         alignments = []

@@ -436,6 +436,10 @@ class ExtensionManager:
         self.ref_codes_dev = ref_codes_dev
         self.spec_hits = 0         # accepted speculative second tiles
         self.spec_misses = 0
+        # optional stage-timing sink (Aligner shares its dict); keys:
+        # extend_dispatch (request build + device enqueue), extend_fetch
+        # (blocking result fetch), extend_decode (host/native decode)
+        self.stage_seconds: dict | None = None
         # per-(read,strand) padded ASCII + device code buffer
         margin = 4 * cfg.tile_size
         bufs, offsets = [], {}
@@ -541,11 +545,21 @@ class ExtensionManager:
         refc = self._ref_dev()
 
         import os
+        import time as _time
+        tacc = self.stage_seconds
+        _t = _time.perf_counter
+
+        def mark(key, t0):
+            if tacc is not None:
+                tacc[key] = tacc.get(key, 0.0) + _t() - t0
+            return _t()
+
         T = cfg.tile_size
         spec_ok = (use_pallas_for(self.params)
                    and not os.environ.get("DARWIN_TPU_NO_SPEC"))
         cached_req = {}    # ei -> request computed during failed speculation
         while live:
+            t0 = _t()
             counters["num_extend_rounds"] = (
                 counters.get("num_extend_rounds", 0) + 1)
             # group live extensions by tile shape
@@ -617,10 +631,13 @@ class ExtensionManager:
                         q_size, rev, self.params,
                         qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
                     rounds.append((items, resolve, rev))
+            t0 = mark("extend_dispatch", t0)
             for items, resolve, rev in rounds:
+                t0 = _t()
                 res = resolve()
                 ops_h = np.asarray(res["ops"])
                 n_h = np.asarray(res["n_ops"])
+                t0 = mark("extend_fetch", t0)
                 spec = "ops_spec" in res
                 n_levels = len(res["ops_spec"]) if spec else 0
                 # decode level by level in WAVES (one batched native decode
@@ -675,6 +692,7 @@ class ExtensionManager:
                             alive.append((b, ei))
                 # tiles that consumed all levels without termination get a
                 # fresh request next round
+                mark("extend_decode", t0)
             for ei in finished:
                 live.remove(ei)
                 if pending:

@@ -48,6 +48,10 @@ class Seeder:
         self.max_occ = (cfg.max_bucket_occupancy
                         or table.kmer_max_occurence)
         self.mesh = mesh
+        # optional stage-timing sink (Aligner shares its dict); sub-stage
+        # keys: seed_dispatch (device program + count fetch), seed_fetch
+        # (hit/anchor array fetch), seed_chain (host chaining)
+        self.stage_seconds: dict | None = None
         if mesh is not None:
             from darwin_tpu.parallel.shard_index import shard_seed_table
             self.sharded_table = shard_seed_table(table, mesh)
@@ -58,9 +62,19 @@ class Seeder:
             self.sharded_table = None
 
     def seed_batch(self, reads) -> SeedResult:
+        import time as _time
+        tacc = self.stage_seconds
+        _t = _time.perf_counter
+
+        def mark(key, t0):
+            if tacc is not None:
+                tacc[key] = tacc.get(key, 0.0) + _t() - t0
+            return _t()
+
         cfg = self.cfg
         if not reads:
             return SeedResult([], [], 0)
+        t0 = _t()
         max_len = max(r.length for r in reads)
         lcap = _round_up_pow2(((max_len + 15) // 16) * 16)
         # pad the row count too: a ragged final read batch would otherwise
@@ -134,6 +148,7 @@ class Seeder:
             if not ok_a:
                 a_cap = min(_round_up_pow2(need_a, a_cap * 2), ceil_cap)
                 self.a_cap = a_cap
+        t0 = mark("seed_dispatch", t0)
         res = {"n_hits": counts[0], "n_anchors": counts[1],
                "n_anchors_raw": counts[2], "n_queried_buckets": counts[3]}
         mh = _round_up_pow2(max(int(counts[0].max()), 1), 512)
@@ -164,6 +179,7 @@ class Seeder:
         # unreachable after the retry loop (a_cap grows to the lossless
         # ceiling mq_cap*max_occ, which n_anchors_raw cannot exceed)
         assert not (res["n_anchors_raw"] > a_cap).any(), "anchor overflow"
+        t0 = mark("seed_fetch", t0)
 
         fw, rc = [], []
         for i in range(len(reads)):
@@ -177,4 +193,5 @@ class Seeder:
                     cfg.bin_size, cfg.do_overlap))
             fw.append(per_strand[0])
             rc.append(per_strand[1])
+        mark("seed_chain", t0)
         return SeedResult(fw, rc, int(res["n_queried_buckets"].sum()))

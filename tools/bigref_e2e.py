@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--reads", type=int, default=512)
     ap.add_argument("--read-len", type=int, default=10000)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--window", type=int, default=9)
+    ap.add_argument("--out", default="BIGREF_r03.json")
     args = ap.parse_args()
 
     from darwin_tpu.config import Config
@@ -53,11 +55,12 @@ def main():
     assert store.size > (1 << 31), "demo must exceed the int32 cap"
 
     cfg = Config()
-    cfg.minimizer_window = 9   # table must share HBM with the genome
+    cfg.minimizer_window = args.window  # w=9: table shares HBM w/ genome
     t0 = time.time()
     aligner = Aligner(cfg, store)
+    build_seconds = time.time() - t0
     print(f"seed table: {aligner.table.num_seeds / 1e6:.0f} M seeds "
-          f"({time.time() - t0:.0f}s)", flush=True)
+          f"({build_seconds:.0f}s)", flush=True)
 
     sim = simulate_reads(store, args.reads, args.read_len, seed=9)
     reads = [make_read(n, s) for n, s, _ in sim]
@@ -82,13 +85,18 @@ def main():
         print(f"  batch {b // args.batch}: aligned {n_aligned}, "
               f"correct {n_ok} ({time.time() - t0:.0f}s)", flush=True)
     dt = time.time() - t0
+    stages = {k: round(v, 2) for k, v in
+              sorted(aligner.stage_seconds.items(),
+                     key=lambda kv: -kv[1])}
     res = {"genome_gbp": round(store.size / 1e9, 2),
            "seeds_m": round(aligner.table.num_seeds / 1e6, 1),
+           "build_seconds": round(build_seconds, 1),
            "reads": len(reads), "aligned": n_aligned, "correct_locus": n_ok,
            "align_seconds": round(dt, 1),
-           "reads_per_s": round(len(reads) / dt, 2)}
+           "reads_per_s": round(len(reads) / dt, 2),
+           "stage_seconds": stages}
     print(json.dumps(res))
-    with open("BIGREF_r02.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
 
 
