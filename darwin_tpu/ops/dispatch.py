@@ -37,11 +37,13 @@ def use_pallas() -> bool:
 
 
 def use_pallas_for(params) -> bool:
-    """Backend selection for a concrete scoring: the Pallas kernels cover
-    the prefix-gaps domain (open <= extend); anything else — the reference
-    accepts arbitrary scorings, software/Processor.cpp:48-80 — runs the
-    lax kernel's generic max-plus gap scan."""
-    return use_pallas() and gact.prefix_ok(params)
+    """Backend selection for a concrete scoring.  Since the Pallas kernels
+    gained the generic-scoring closed form (gact_pallas._dp_kernel's
+    `generic` branch) they cover ANY scoring — matching the reference's
+    one-kernel-for-all contract (software/Processor.cpp:48-80) — so this
+    is now just the platform check.  (gact.prefix_ok still routes the
+    *lax* kernel's internal scan choice.)"""
+    return use_pallas()
 
 
 # memoized by params identity + geometry (reading params.sub is a

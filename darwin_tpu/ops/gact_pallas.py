@@ -92,12 +92,20 @@ def _cummax_sublanes(x, n):
     return x
 
 
+def _gap_slopes(go, ge, goL, geL):
+    """Per-lane scan slopes + the cross-lane slope for the generic-scoring
+    closed form (see _dp_kernel's gap section)."""
+    sf = max(go, ge)
+    sfl = max(goL, geL)
+    return sf, sfl, max(sf, sfl)
+
+
 def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
                score_ref, qpos_ref, rpos_ref, trace_ref,
                e_ref, el_ref, ebits_ref, hroll_ref,
                best_ref, hend_ref,
                *, QT, n_groups, pcol, sub, go, ge, goL, geL,
-               wf, wfl, all_start_end, with_trace):
+               wf, wfl, all_start_end, with_trace, generic=False):
     r = pl.program_id(1)
     qio = jax.lax.broadcasted_iota(jnp.int32, (QT, LANES), 0)
 
@@ -181,8 +189,38 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
         # (oracle.gap_scan_windows — e.g. 5 instead of 9 shift+max steps
         # for the default scoring's short lane at QT=384)
         hp_sh = _shift_down(hp, 1, 0)
-        f = go + ge * arow + _cummax_sublanes(hp_sh - ge * arow, wf)
-        fl = goL + geL * arow + _cummax_sublanes(hp_sh - geL * arow, wfl)
+        if not generic:
+            f = go + ge * arow + _cummax_sublanes(hp_sh - ge * arow, wf)
+            fl = (goL + geL * arow
+                  + _cummax_sublanes(hp_sh - geL * arow, wfl))
+        else:
+            # Generic scoring (open may beat extend; the reference accepts
+            # any, software/Processor.cpp:48-80): the coupled recurrence
+            #   F(q)   = max(H(q-1)+go,  F(q-1)+ge)
+            #   F_L(q) = max(H(q-1)+goL, F_L(q-1)+geL)
+            #   H(q)   = max(Hp(q), F(q), F_L(q))
+            # is v(q) = A (x) v(q-1) (+) b(q) in max-plus with constant
+            #   A = [[max(go,ge), go], [goL, max(goL,geL)]].
+            # 2x2 max-plus powers have a closed form (with M = max of the
+            # diagonal, and go+goL <= 2M always since M >= go, goL):
+            #   A^d[0][0] = max(d*a00, (go+goL) + (d-2)*M)
+            #   A^d[0][1] = go  + (d-1)*M     (and symmetrically for row 1)
+            # whence each lane is its own-slope prefix scan plus one extra
+            # term p3 = go+goL + max_{j<=q-1}(hps(j) + (q-1-j)*M), SHARED
+            # by both lanes and itself a 1-shift of the larger-slope scan
+            # — two scans + ~4 ops instead of a 6-word max-plus scan.
+            # Verified exactly equal to gact._column_gap_scan (and the A^d
+            # cross terms are dominated: p2 - p3 = go - M <= 0).
+            sf, sfl, M = _gap_slopes(go, ge, goL, geL)
+            cmf = _cummax_sublanes(hp_sh - sf * arow, wf)
+            cmfl = _cummax_sublanes(hp_sh - sfl * arow, wfl)
+            f = go + sf * arow + cmf
+            fl = goL + sfl * arow + cmfl
+            cm_m = cmf if sf >= sfl else cmfl
+            p3 = ((go + goL - M) + M * arow
+                  + _shift_down(cm_m, 1, NEG16))
+            f = jnp.maximum(f, p3)
+            fl = jnp.maximum(fl, p3)
         h = jnp.maximum(hp, jnp.maximum(f, fl))
         h_up = _shift_down(h, 1, 0)
 
@@ -299,9 +337,9 @@ def _round_up(x, m):
 def _dp_strip_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref,
                      score_ref, qpos_ref, rpos_ref, trace_ref,
                      e_ref, el_ref, ebits_ref, hroll_ref, hend_ref,
-                     hb_ref, mf_ref, mfl_ref, rawl_ref,
+                     hb_ref, mf_ref, mfl_ref, rawl_ref, p3m_ref,
                      *, SQT, n_strips, n_groups, pcol, sub, go, ge, goL,
-                     geL, wf, wfl, with_trace):
+                     geL, wf, wfl, with_trace, generic=False):
     s = pl.program_id(1)
     r = pl.program_id(2)
     qio = jax.lax.broadcasted_iota(jnp.int32, (SQT, LANES), 0)
@@ -358,16 +396,32 @@ def _dp_strip_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref,
             cm = _cummax_sublanes(a, w)
             m_in = jnp.where(first, jnp.int32(ext),
                              m_ref[pl.ds(rr, 1)][0])     # M at strip top
-            val = open_ + ext * arow + jnp.maximum(
-                _shift_down(cm, 1, NEG16), m_in)
+            sh1 = jnp.maximum(_shift_down(cm, 1, NEG16), m_in)
+            val = open_ + ext * arow + sh1
             m_out = cm[SQT - 1:SQT]
             if not windowed:
                 m_out = jnp.maximum(m_out, m_in)
             m_ref[pl.ds(rr, 1)] = m_out
-            return val
+            return val, sh1
 
-        f = lane_scan(go, ge, wf, mf_ref, wf < SQT)
-        fl = lane_scan(goL, geL, wfl, mfl_ref, wfl < SQT)
+        if not generic:
+            f, _ = lane_scan(go, ge, wf, mf_ref, wf < SQT)
+            fl, _ = lane_scan(goL, geL, wfl, mfl_ref, wfl < SQT)
+        else:
+            # generic-scoring closed form (see _dp_kernel): own-slope
+            # scans plus the shared cross-lane term p3, whose 1-shifted
+            # prefix crosses strips through the p3m carry
+            sf, sfl, M = _gap_slopes(go, ge, goL, geL)
+            f, shf = lane_scan(go, sf, SQT, mf_ref, False)
+            fl, shfl = lane_scan(goL, sfl, SQT, mfl_ref, False)
+            sh_m = shf if sf >= sfl else shfl
+            p3m_in = jnp.where(first, NEG16, p3m_ref[pl.ds(rr, 1)][0])
+            p3 = ((go + goL - M) + M * arow
+                  + jnp.where(qio == 0, p3m_in,
+                              _shift_down(sh_m, 1, NEG16)))
+            p3m_ref[pl.ds(rr, 1)] = sh_m[SQT - 1:SQT]
+            f = jnp.maximum(f, p3)
+            fl = jnp.maximum(fl, p3)
         h = jnp.maximum(hp, jnp.maximum(f, fl))
 
         hb_in = jnp.where(first, 0, hb_ref[pl.ds(rr, 1)][0])
@@ -457,12 +511,16 @@ def _dp_call_strips(qcodes, rcodes, qlens, rlens, params_static,
     rlen2 = rlens.astype(jnp.int32)[None, :]
     n_groups = RT // pcol
     # strips carry the full prefix exactly; window only below strip height
-    wf, wfl = _orc.gap_scan_windows(go, ge, goL, geL, SQT)
+    generic = not (go <= ge and goL <= geL)
+    if generic:
+        wf = wfl = SQT
+    else:
+        wf, wfl = _orc.gap_scan_windows(go, ge, goL, geL, SQT)
 
     kern = functools.partial(
         _dp_strip_kernel, SQT=SQT, n_strips=n_strips, n_groups=n_groups,
         pcol=pcol, sub=sub, go=go, ge=ge, goL=goL, geL=geL, wf=wf, wfl=wfl,
-        with_trace=with_trace)
+        with_trace=with_trace, generic=generic)
     row_spec = pl.BlockSpec((1, LANES), lambda b, s, r: (0, b),
                             memory_space=pltpu.VMEM)
     out_shapes = [
@@ -510,6 +568,7 @@ def _dp_call_strips(qcodes, rcodes, qlens, rlens, params_static,
             pltpu.VMEM((RT, LANES), jnp.int32),    # mf carry
             pltpu.VMEM((RT, LANES), jnp.int32),    # mfl carry
             pltpu.VMEM((RT, LANES), jnp.int32),    # rawl carry
+            pltpu.VMEM((RT, LANES), jnp.int32),    # p3m carry (generic)
         ],
         compiler_params=cparams,
         interpret=interpret,
@@ -883,11 +942,16 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
     se2 = start_end.astype(jnp.int32)[None, :]
     n_groups = RT // pcol
 
-    wf, wfl = _orc.gap_scan_windows(go, ge, goL, geL, QT)
+    generic = not (go <= ge and goL <= geL)
+    if generic:
+        wf = wfl = QT       # windowing is only proven in the prefix domain
+    else:
+        wf, wfl = _orc.gap_scan_windows(go, ge, goL, geL, QT)
     kern = functools.partial(
         _dp_kernel, QT=QT, n_groups=n_groups, pcol=pcol, sub=sub, go=go,
         ge=ge, goL=goL, geL=geL, wf=wf, wfl=wfl,
-        all_start_end=all_start_end, with_trace=with_trace)
+        all_start_end=all_start_end, with_trace=with_trace,
+        generic=generic)
 
     row_spec = pl.BlockSpec((1, LANES), lambda b, r: (0, b),
                             memory_space=pltpu.VMEM)
@@ -951,13 +1015,11 @@ def _dp_call(qcodes, rcodes, qlens, rlens, start_end, params_static,
 
 
 def _static_params(params: gact.GactParams):
+    """Scoring as static Python ints (baked into the kernel).  Both gap
+    domains are supported: prefix scorings (open <= extend) use the
+    windowed prefix scans, anything else the generic closed-form path
+    (see the `generic` branch in _dp_kernel)."""
     sub = tuple(tuple(int(v) for v in row) for row in np.asarray(params.sub))
-    if not (int(params.gap_open) <= int(params.gap_extend)
-            and int(params.long_gap_open) <= int(params.long_gap_extend)):
-        raise ValueError(
-            "the Pallas kernels implement the prefix-max gap scan, which "
-            "requires open <= extend on both gap lanes; dispatch routes "
-            "such scorings through the lax kernel (gact.prefix_ok)")
     return (sub, int(params.gap_open), int(params.gap_extend),
             int(params.long_gap_open), int(params.long_gap_extend))
 

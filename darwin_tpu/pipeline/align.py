@@ -353,9 +353,9 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     # reference's, software/main.cpp:713-719; these extra lines are
     # prefixed so nothing can mistake them for it)
     h, m = c["num_spec_hits"], c["num_spec_misses"]
-    rate = h / (h + m) if (h + m) else float("nan")
+    rate = f"{h / (h + m):.3f}" if (h + m) else "n/a"
     print(f"[darwin_tpu] #spec hits: {h}  #spec misses: {m}  "
-          f"hit rate: {rate:.3f}  #extend rounds: {c['num_extend_rounds']}",
+          f"hit rate: {rate}  #extend rounds: {c['num_extend_rounds']}",
           file=err)
     print(f"Time elapsed (aligning reads): "
           f"{int((time.time() - t0) * 1000)} msec", file=err)

@@ -118,7 +118,11 @@ def mhap_lines(alignments: List[ExtendAlignment], reads,
         strand = 1 if e.strand == "-" else 0
         ar = e.aligned_reference.decode()
         aq = e.aligned_query.decode()
-        matches = sum(1 for a, b in zip(ar.upper(), aq.upper()) if a == b)
+        # vectorized match count (printer.cpp:159-166's per-char loop is
+        # measurable at assembly scale): bytes.upper() + uint8 compare
+        matches = int(np.count_nonzero(
+            np.frombuffer(e.aligned_reference.upper(), np.uint8)
+            == np.frombuffer(e.aligned_query.upper(), np.uint8)))
         ral = e.reference_end_offset + 1 - e.reference_start_offset
         qal = e.query_end_offset + 1 - e.query_start_offset
         ovl = (ral + qal) // 2

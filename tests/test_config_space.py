@@ -57,19 +57,28 @@ def test_custom_scoring_matches_oracle(rng, idx):
         assert list(np.asarray(pal_res["ops"])[b, :n]) == ref["ops"], (idx, b)
 
 
-def test_open_cheaper_than_extend_generic_path(rng):
+# generic-domain scorings (open cheaper than extend on one or both lanes)
+GENERIC_CONFIGS = [
+    (-1, -5, -3, -9),     # both lanes open < extend
+    (-1, -5, -25, -1),    # short lane generic, long lane prefix
+    (-4, -2, -3, -9),     # short lane prefix, long lane generic
+    (-2, -7, -2, -7),     # identical lanes, generic
+]
+
+
+@pytest.mark.parametrize("gaps", GENERIC_CONFIGS)
+def test_open_cheaper_than_extend_generic_path(rng, gaps):
     """gap_open > gap_extend invalidates the prefix-max gap scan; such
-    scorings (the reference accepts any, software/Processor.cpp:48-80) are
-    routed through the lax kernel's generic max-plus scan end-to-end
-    (dispatch.use_pallas_for) and must match the oracle's coupled
-    recurrence exactly."""
+    scorings (the reference accepts any, software/Processor.cpp:48-80) run
+    the generic closed-form path in BOTH kernels — the lax kernel's
+    max-plus associative scan and the Pallas kernel's shared-p3 scan
+    (gact_pallas._dp_kernel `generic` branch) — and must match the
+    oracle's coupled recurrence exactly."""
     cfg = Config()
-    cfg.gap_open, cfg.gap_extend = -1, -5
-    cfg.long_gap_open, cfg.long_gap_extend = -3, -9
+    cfg.gap_open, cfg.gap_extend = gaps[0], gaps[1]
+    cfg.long_gap_open, cfg.long_gap_extend = gaps[2], gaps[3]
     params = gact.make_params(cfg)
     assert not gact.prefix_ok(params)
-    from darwin_tpu.ops.dispatch import use_pallas_for
-    assert not use_pallas_for(params)
     SUB = np.array(cfg.sub_matrix_5x5, np.int32)
 
     B, QT, RT = 8, 48, 56
@@ -77,6 +86,7 @@ def test_open_cheaper_than_extend_generic_path(rng):
     args = (jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
             jnp.asarray(rlens), jnp.asarray(start_end), params)
     res = gact.align_and_traceback(*args, 2 * QT)
+    pal = gact_pallas.align_and_traceback(*args, 2 * QT, interpret=True)
     for b in range(B):
         ref = orc.align_with_traceback(
             qcodes[b, :qlens[b]], rcodes[b, :rlens[b]], SUB,
@@ -86,8 +96,33 @@ def test_open_cheaper_than_extend_generic_path(rng):
         n = int(res["n_ops"][b])
         assert n == len(ref["ops"]), b
         assert list(np.asarray(res["ops"])[b, :n]) == ref["ops"], b
+        assert int(pal["score"][b]) == ref["score"], b
+        assert int(pal["n_ops"][b]) == n, b
+        assert list(np.asarray(pal["ops"])[b, :n]) == ref["ops"], b
 
-    # the Pallas kernels must refuse (prefix-scan only) rather than
-    # silently miscompute
-    with pytest.raises(ValueError):
-        gact_pallas._static_params(params)
+
+def test_generic_strip_kernel_matches_lax(rng):
+    """Large-tile (strip-kernel) geometry under a generic scoring: the
+    p3m carry must reproduce the cross-strip prefix exactly."""
+    cfg = Config()
+    cfg.gap_open, cfg.gap_extend = -1, -5
+    cfg.long_gap_open, cfg.long_gap_extend = -3, -9
+    params = gact.make_params(cfg)
+
+    B, QT, RT = 4, 640, 96      # QT > 512 -> strip path, 2 strips
+    qcodes, rcodes, qlens, rlens, _ = _make_batch(rng, B, QT, RT)
+    qlens = np.maximum(qlens, 520)    # cross the strip boundary
+    start_end = np.ones(B, bool)
+    args = (jnp.asarray(qcodes), jnp.asarray(rcodes), jnp.asarray(qlens),
+            jnp.asarray(rlens), jnp.asarray(start_end), params)
+    lax_res = gact.batch_align(*args, with_trace=True, all_start_end=True)
+    pal_res = gact_pallas.batch_align(*args, all_start_end=True,
+                                      interpret=True)
+    assert np.array_equal(np.asarray(lax_res["score"]),
+                          np.asarray(pal_res["score"]))
+    # trace layouts differ: lax (RT, B, QT) vs pallas (RT, QT, B)
+    lt = np.asarray(lax_res["trace"])
+    pt = np.asarray(pal_res["trace"]).transpose(0, 2, 1)
+    for b in range(B):
+        assert np.array_equal(lt[:rlens[b], b, :qlens[b]],
+                              pt[:rlens[b], b, :qlens[b]]), b
