@@ -1,0 +1,119 @@
+"""Assembly-scale de novo (overlap) demonstration — the reference's
+headline use case (/root/reference/README.md, software/README.md:25-27:
+all-vs-all overlap of a long-read set, reads-as-index).
+
+Simulates N reads x L bp at ~`coverage`x depth from a synthetic genome,
+runs overlap mode end-to-end (the reads file is BOTH the index and the
+query stream), and records reads/s, peak RSS, and output volume into
+DENOVO_r03.json.  Optionally spot-verifies the MHAP output byte-identical
+against the compiled reference binary on a read subsample
+(--check-subsample N; uses tests/ref_binary.py).
+
+Run: python tools/denovo_e2e.py [--reads 5000] [--read-len 10000]
+         [--coverage 8] [--check-subsample 500]
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def write_fasta(path, reads):
+    with open(path, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n")
+            f.write(seq.tobytes().decode() + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=5000)
+    ap.add_argument("--read-len", type=int, default=10000)
+    ap.add_argument("--coverage", type=float, default=8.0)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--check-subsample", type=int, default=0)
+    ap.add_argument("--out", default="DENOVO_r03.json")
+    ap.add_argument("--workdir", default="/tmp/denovo_e2e")
+    args = ap.parse_args()
+
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore
+    from darwin_tpu.pipeline.align import run, enable_compile_cache
+    from darwin_tpu.utils.simulate import simulate_reads
+
+    enable_compile_cache()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    genome_bp = int(args.reads * args.read_len / args.coverage)
+    rng = np.random.default_rng(7)
+    store = GenomeStore()
+    bases = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, size=genome_bp, dtype=np.uint8)]
+    store.add_chromosome("g", bases)
+    store.finalize()
+    sim = simulate_reads(store, args.reads, args.read_len, seed=11)
+    reads = [(n, s) for n, s, _ in sim]
+    reads_fa = os.path.join(args.workdir, "reads.fa")
+    write_fasta(reads_fa, reads)
+    print(f"simulated {len(reads)} x {args.read_len} bp reads "
+          f"({args.coverage}x of {genome_bp / 1e6:.1f} Mbp)", flush=True)
+
+    cfg = Config()
+    out_path = os.path.join(args.workdir, "out.mhap")
+    t0 = time.time()
+    with open(out_path, "w") as sink:
+        run(reads_fa, reads_fa, True, cfg=cfg, out=sink,
+            reads_per_batch=args.batch)
+    dt = time.time() - t0
+    n_lines = sum(1 for _ in open(out_path))
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    res = {
+        "reads": args.reads, "read_len": args.read_len,
+        "coverage": args.coverage, "genome_mbp": round(genome_bp / 1e6, 1),
+        "seconds": round(dt, 1),
+        "reads_per_s": round(args.reads / dt, 2),
+        "mhap_records": n_lines // 6,   # record + 2 aligned strs, both dirs
+        "peak_rss_gb": round(rss_gb, 2),
+    }
+
+    if args.check_subsample:
+        n = args.check_subsample
+        sub_fa = os.path.join(args.workdir, "sub.fa")
+        write_fasta(sub_fa, reads[:n])
+        sub_out = os.path.join(args.workdir, "sub.mhap")
+        with open(sub_out, "w") as sink:
+            run(sub_fa, sub_fa, True, cfg=Config(), out=sink)
+        from tests import ref_binary
+        path = ref_binary.build()
+        if path is None:
+            res["subsample_check"] = "skipped (no toolchain)"
+        else:
+            # both sides read params.cfg from cwd (main.cpp:178)
+            import shutil
+            shutil.copy("/root/reference/software/params.cfg",
+                        os.path.join(args.workdir, "params.cfg"))
+            ref_out = ref_binary.run(sub_fa, sub_fa, True,
+                                     cwd=args.workdir, timeout=3600)
+            ours = open(sub_out).read()
+            res["subsample_check"] = (
+                "identical" if ours == ref_out else "MISMATCH")
+            res["subsample_reads"] = n
+            if ours != ref_out:
+                with open(os.path.join(args.workdir, "ref.mhap"), "w") as f:
+                    f.write(ref_out)
+
+    print(json.dumps(res))
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
