@@ -277,10 +277,16 @@ def _dp_kernel(qT_ref, rT_ref, qlen_ref, rlen_ref, se_ref,
             best_q = jnp.where(improved, colargq, best_q)
             best_r = jnp.where(improved, rr, best_r)
 
-        # start_end capture: H at (qlen-1, rlen-1)
-        h_at_qend = jnp.max(jnp.where(q_end, h, NEG16),
-                            axis=0, keepdims=True)
-        hend = jnp.where(rr == rlen - 1, h_at_qend, hend)
+        # start_end capture: H at (qlen-1, rlen-1).  The (QT, L) masked
+        # reduce only matters in each lane's LAST column — guard it on a
+        # scalar so the other pcol-1 columns skip the work entirely.
+        def _cap(hh, hend_in):
+            h_at_qend = jnp.max(jnp.where(q_end, hh, NEG16),
+                                axis=0, keepdims=True)
+            return jnp.where(rr == rlen - 1, h_at_qend, hend_in)
+
+        hend = jax.lax.cond(jnp.any(rlen == rr + 1), _cap,
+                            lambda hh, hend_in: hend_in, h, hend)
 
     e_ref[:] = e
     el_ref[:] = el
@@ -670,43 +676,62 @@ def _tb_kernel(trace_ref, sq_ref, sr_ref, rec_ref, qsteps_ref, rsteps_ref,
         open_d = jnp.where(eff == gact.T8_DEL, w & gact.E_OPEN8,
                            w & gact.EL_OPEN8)
         st_after_d = jnp.where(open_d != 0, _TB_DIAG, eff)
+        closing0 = jnp.where(is_m, orc_OP_M, jnp.where(is_dcl, orc_OP_D, 0))
 
-        bitsel = jnp.where(eff == gact.T8_INS, gact.F_OPEN8, gact.FL_OPEN8)
-        cand = jnp.where(((words & bitsel) != 0) & (qio <= i), qio, -1)
-        qp = jnp.max(cand, axis=0, keepdims=True)
-        cnt_raw = i - qp + 1
-        cnt = jnp.minimum(cnt_raw, max_tb - qs)
-        capped = is_run & (cnt < cnt_raw)
-        nI = jnp.where(is_run, cnt, 0)
-        qs = qs + nI
-        i = i - nI
-        closing = jnp.where(is_m, orc_OP_M, jnp.where(is_dcl, orc_OP_D, 0))
-        st = jnp.where(is_zero | capped, _TB_DONE,
-                       jnp.where(is_dcl, st_after_d,
-                                 jnp.where(is_m | is_run, _TB_DIAG, st)))
+        # The run-consumption scan + stage B only matter when some lane is
+        # actually in an I-run this column; on match-heavy columns (no
+        # runs anywhere) the guard skips ~half the sweep's vector work.
+        def _with_runs(st, i, qs, rs, sp):
+            bitsel = jnp.where(eff == gact.T8_INS, gact.F_OPEN8,
+                               gact.FL_OPEN8)
+            cand = jnp.where(((words & bitsel) != 0) & (qio <= i), qio, -1)
+            qp = jnp.max(cand, axis=0, keepdims=True)
+            cnt_raw = i - qp + 1
+            cnt = jnp.minimum(cnt_raw, max_tb - qs)
+            capped = is_run & (cnt < cnt_raw)
+            nI = jnp.where(is_run, cnt, 0)
+            qs = qs + nI
+            i = i - nI
+            st = jnp.where(is_zero | capped, _TB_DONE,
+                           jnp.where(is_dcl, st_after_d,
+                                     jnp.where(is_m | is_run, _TB_DIAG,
+                                               st)))
 
-        # ---- stage B: closing op for lanes that consumed a run ----
-        actB = is_run & ~capped
-        endedB = (i < 0) | (qs >= max_tb) | (rs >= max_tb)
-        st = jnp.where(actB & endedB, _TB_DONE, st)
-        actB = actB & ~endedB
-        wB = jnp.max(jnp.where(qio == i, words, 0), axis=0, keepdims=True)
-        tfB = wB & 7
-        is_mB = actB & (tfB == gact.T8_DIAG)
-        is_dB = actB & ((tfB == gact.T8_DEL) | (tfB == gact.T8_DEL_L))
-        is_zB = actB & (tfB == _TB_DONE)
-        sp = sp | (actB & ((tfB == gact.T8_INS)
-                           | (tfB == gact.T8_INS_L))).astype(jnp.int32)
-        one_mB = is_mB.astype(jnp.int32)
-        qs = qs + one_mB
-        rs = rs + one_mB + is_dB.astype(jnp.int32)
-        i = i - one_mB
-        open_dB = jnp.where(tfB == gact.T8_DEL, wB & gact.E_OPEN8,
-                            wB & gact.EL_OPEN8)
-        stB_after_d = jnp.where(open_dB != 0, _TB_DIAG, tfB)
-        st = jnp.where(is_zB, _TB_DONE, jnp.where(is_dB, stB_after_d, st))
-        closing = jnp.where(is_mB, orc_OP_M,
-                            jnp.where(is_dB, orc_OP_D, closing))
+            # ---- stage B: closing op for lanes that consumed a run ----
+            actB = is_run & ~capped
+            endedB = (i < 0) | (qs >= max_tb) | (rs >= max_tb)
+            st = jnp.where(actB & endedB, _TB_DONE, st)
+            actB = actB & ~endedB
+            wB = jnp.max(jnp.where(qio == i, words, 0), axis=0,
+                         keepdims=True)
+            tfB = wB & 7
+            is_mB = actB & (tfB == gact.T8_DIAG)
+            is_dB = actB & ((tfB == gact.T8_DEL) | (tfB == gact.T8_DEL_L))
+            is_zB = actB & (tfB == _TB_DONE)
+            sp = sp | (actB & ((tfB == gact.T8_INS)
+                               | (tfB == gact.T8_INS_L))).astype(jnp.int32)
+            one_mB = is_mB.astype(jnp.int32)
+            qs = qs + one_mB
+            rs = rs + one_mB + is_dB.astype(jnp.int32)
+            i = i - one_mB
+            open_dB = jnp.where(tfB == gact.T8_DEL, wB & gact.E_OPEN8,
+                                wB & gact.EL_OPEN8)
+            stB_after_d = jnp.where(open_dB != 0, _TB_DIAG, tfB)
+            st = jnp.where(is_zB, _TB_DONE,
+                           jnp.where(is_dB, stB_after_d, st))
+            closing = jnp.where(is_mB, orc_OP_M,
+                                jnp.where(is_dB, orc_OP_D, closing0))
+            return st, i, qs, rs, sp, closing, nI
+
+        def _no_runs(st, i, qs, rs, sp):
+            st = jnp.where(is_zero, _TB_DONE,
+                           jnp.where(is_dcl, st_after_d,
+                                     jnp.where(is_m, _TB_DIAG, st)))
+            return (st, i, qs, rs, sp, closing0,
+                    jnp.zeros((1, LANES), jnp.int32))
+
+        st, i, qs, rs, sp, closing, nI = jax.lax.cond(
+            jnp.any(is_run), _with_runs, _no_runs, st, i, qs, rs, sp)
 
         rec_ref[pl.ds(c, 1)] = nI + (closing << 14)
         return (st, i, qs, rs, sp)
