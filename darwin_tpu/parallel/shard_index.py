@@ -124,7 +124,8 @@ def _sharded_fn(mesh: Mesh, axis: str, k, w, num_seeds, max_stride,
         nsh = jax.lax.psum(1, axis)
         me = jax.lax.axis_index(axis)
         tot = jax.lax.dynamic_slice_in_dim(tot, me * (B // nsh), B // nsh)
-        res = D._hits_post(binf, offf, posf, okf, nqb, k, threshold, a_cap)
+        res = D._hits_post(binf, offf, posf, okf, nqb, k, threshold, a_cap,
+                           D.sv_bins(bin_size, overlap))
         res["n_flat_raw"] = tot
         return res
 

@@ -180,18 +180,25 @@ def _bucket_hits_flat(positions, offs, bucket_range, cnt_global,
     return binf, of, pos, okf, bucket_ok, total
 
 
+def sv_bins(bin_size: int, overlap: bool) -> int:
+    """Chaining's bin half-window (software/seed_pos_table.cpp:394,409):
+    sv_num_bins = 4096/bin_size reference-guided, 1 in overlap mode.
+    Must match chain.chain_anchors."""
+    return 1 if overlap else (1 << 12) // bin_size
+
+
 def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
-               a_cap):
-    """Sort hits, run the per-bin unique-base count, compact anchors.
-    Pure function of the (unordered-by-bin) hit buffers — shared by the
-    replicated and hash-sharded paths."""
+               a_cap, sv):
+    """Sort hits, run the per-bin unique-base count, compact anchors, and
+    prune hits to the union of anchor bin windows.  Pure function of the
+    (unordered-by-bin) hit buffers — shared by the replicated and
+    hash-sharded paths."""
     B, H = binf.shape
     # stable sort by (bin, offset); equal pairs keep insertion order
     # (minimizer ordinal, bucket slot) like std::stable_sort on the packed
     # key (software/seed_pos_table.cpp:337,42-45)
     sbin, soff, spos, sok = jax.lax.sort(
         (binf, offf, posf, okf), num_keys=2, is_stable=True)
-    n_hits = jnp.sum(okf, axis=1)
 
     # ---- per-bin counting (software/seed_pos_table.cpp:352-389) ----
     # "no previous bin" sentinel: all-ones, unreachable by valid bins
@@ -215,9 +222,40 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
         (akey, spos, soff, sbin), num_keys=1, is_stable=True)
     n_anchors = jnp.sum(cross.astype(jnp.int32), axis=1)
 
+    # ---- prune hits to the union of anchor bin windows ----
+    # Chaining reads only hits with bin in [anc - sv, anc + sv) for some
+    # anchor (chain.chain_anchors / seed_pos_table.cpp:409); every other
+    # hit is dead weight in the host fetch, and at multi-Gbp scale (bucket
+    # occupancy ~ genome/4^k) dead hits dominate the buffers.  The pruned
+    # arrays keep every window's contents and relative order, so the
+    # chaining output is bit-identical.  Over-keeping (clipped gather at
+    # the anchor-array edge) is harmless: window slices are value-ranged.
+    # uint32 throughout (x64 is disabled): valid bins are <= 2^32-2, the
+    # all-ones sentinel marks the anchor tail, and the +-sv window edges
+    # saturate (saturation only over-keeps, which is inert).
+    ac = min(a_cap, H)          # anchor buffers cannot exceed the hit width
+    n_anc_c = jnp.minimum(n_anchors, ac)
+    anc_b = jnp.where(
+        jnp.arange(ac, dtype=jnp.int32)[None, :] < n_anc_c[:, None],
+        abin[:, :ac], jnp.uint32(0xFFFFFFFF))
+    svu = jnp.uint32(sv)
+    # first anchor with bin >= hit_bin - sv + 1 (== "> hit_bin - sv",
+    # phrased without underflow); hit needed iff that anchor <= bin + sv
+    qlo = jnp.maximum(sbin + jnp.uint32(1), svu) - svu
+    j = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(
+        anc_b, qlo)
+    hi_max = jnp.uint32(0xFFFFFFFE)
+    qhi = jnp.where(sbin >= hi_max - svu, hi_max, sbin + svu)
+    aj = jnp.take_along_axis(anc_b, jnp.minimum(j, ac - 1), axis=1)
+    needed = valid & (aj <= qhi)
+    kkey = jnp.where(needed, 0, 1).astype(jnp.int32)
+    _, pbin, poff, ppos = jax.lax.sort(
+        (kkey, sbin, soff, spos), num_keys=1, is_stable=True)
+    n_kept = jnp.sum(needed.astype(jnp.int32), axis=1)
+
     return {
-        "hits_bin": sbin, "hits_off": soff, "hits_pos": spos,
-        "n_hits": n_hits,
+        "hits_bin": pbin, "hits_off": poff, "hits_pos": ppos,
+        "n_hits": n_kept,
         "anc_pos": apos[:, :a_cap], "anc_off": aoff[:, :a_cap],
         "anc_bin": abin[:, :a_cap],
         "n_anchors": jnp.minimum(n_anchors, a_cap),
@@ -265,6 +303,6 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
         max_occ, bin_size, hit_cap)
     res = _hits_post(binf, offf, posf, okf,
                      jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
-                     k, threshold, a_cap)
+                     k, threshold, a_cap, sv_bins(bin_size, overlap))
     res["n_flat_raw"] = total
     return res

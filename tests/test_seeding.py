@@ -304,3 +304,91 @@ def test_bin_size_one_high_addresses(rng):
             np.testing.assert_array_equal(
                 y.right_chained, x.right_chained + shift)
     assert n_anchors > 0
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_hit_pruning_is_chain_exact(rng, overlap):
+    """Device-side hit pruning to anchor bin windows (dsoft._hits_post)
+    must leave the chained output bit-identical to the unpruned arrays:
+    chaining reads only value-ranged window slices
+    (seed_pos_table.cpp:409), so dropping out-of-window hits is inert."""
+    from darwin_tpu.seeding import chain
+    from darwin_tpu.seeding import dsoft as D
+
+    cfg = small_cfg()
+    cfg.do_overlap = overlap
+    store = GenomeStore()
+    base = _random_genome(rng, 3000)
+    store.add_chromosome("chrA", base)
+    store.finalize()
+    table = build_seed_table(store, cfg).ensure_lut()
+
+    reads = []
+    for i in range(6):
+        start = int(rng.integers(0, 2500))
+        ln = int(rng.integers(200, 400))
+        sl = base[start:start + ln].copy()
+        mut = rng.random(len(sl)) < 0.08
+        sl[mut] = rng.choice(list(b"ACGT"), size=mut.sum())
+        reads.append(make_read(f"r{i}", sl))
+
+    max_len = max(r.length for r in reads)
+    lcap = ((max_len + 15) // 16) * 16
+    B = 2 * len(reads)
+    codes2 = np.zeros((B, lcap), np.uint8)
+    lengths = np.zeros(B, np.int32)
+    for i, r in enumerate(reads):
+        codes2[2 * i, :r.length] = G.encode2(r.seq)
+        codes2[2 * i + 1, :r.length] = G.encode2(r.rc_seq)
+        lengths[2 * i] = lengths[2 * i + 1] = r.length
+
+    from darwin_tpu.seeding.dsoft import mq_cap_for
+    mq_cap = mq_cap_for(lcap - cfg.seed_size + 1, cfg.num_seeds,
+                        cfg.max_stride, cfg.do_overlap)
+    kw = dict(k=cfg.seed_size, w=cfg.minimizer_window,
+              num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+              overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
+              bin_size=cfg.bin_size, max_occ=table.kmer_max_occurence,
+              mq_cap=mq_cap, a_cap=4096,
+              lut=table.prefix_lut, lut_shift=table.lut_shift,
+              lut_steps=table.lut_steps)
+    pruned = D.dsoft_device(jnp.asarray(codes2), jnp.asarray(lengths),
+                            table.sorted_hashes, table.positions, **kw)
+
+    # unpruned baseline: same pipeline with the window check disabled
+    orig = D.sv_bins
+    D.sv_bins = lambda b, o: (1 << 31)  # window covers every uint32 bin
+    D.dsoft_device.clear_cache()
+    try:
+        full = D.dsoft_device(jnp.asarray(codes2), jnp.asarray(lengths),
+                              table.sorted_hashes, table.positions, **kw)
+    finally:
+        D.sv_bins = orig
+        D.dsoft_device.clear_cache()
+
+    n_p = np.asarray(pruned["n_hits"])
+    n_f = np.asarray(full["n_hits"])
+    assert (n_p <= n_f).all() and n_f.sum() > 0
+
+    def chains(res, row):
+        return chain.chain_anchors(
+            np.asarray(res["hits_bin"][row]).astype(np.int64),
+            np.asarray(res["hits_off"][row]),
+            np.asarray(res["hits_pos"][row]).astype(np.int64),
+            int(np.asarray(res["n_hits"][row])),
+            np.asarray(res["anc_pos"][row]).astype(np.int64),
+            np.asarray(res["anc_off"][row]),
+            np.asarray(res["anc_bin"][row]).astype(np.int64),
+            int(np.asarray(res["n_anchors"][row])),
+            cfg.bin_size, cfg.do_overlap)
+
+    for row in range(B):
+        a_p = chains(pruned, row)
+        a_f = chains(full, row)
+        assert len(a_p) == len(a_f)
+        for x, y in zip(a_p, a_f):
+            assert x.hit == y.hit and x.offset == y.offset
+            assert x.num_chained_hits == y.num_chained_hits
+            assert x.anchor_score == y.anchor_score
+            assert x.left_chained.tolist() == y.left_chained.tolist()
+            assert x.right_chained.tolist() == y.right_chained.tolist()

@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-3 TPU work queue: run every hardware-gated artifact in priority
+# order once the axon tunnel is reachable.  Each step is independently
+# timeout-guarded and appends to /tmp/r3_queue.log; artifacts land in the
+# repo root (BENCH preview, BIGREF_r03.json, DENOVO_r03.json, GENERIC
+# sample) for commit.
+#
+# Usage: bash tools/round3_tpu_queue.sh [step...]   (default: all steps)
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="$REPO:${PYTHONPATH:-}"
+LOG=/tmp/r3_queue.log
+steps=("$@")
+[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic bigref denovo)
+
+run() { # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "=== [$name] start $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "=== [$name] exit=$rc $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  return $rc
+}
+
+for s in "${steps[@]}"; do
+  case $s in
+    smoke)
+      run smoke 3600 python "$REPO/tools/tpu_smoke.py" || exit 1 ;;
+    bench)
+      run bench 3600 python "$REPO/bench.py" ;;
+    generic)
+      # generic-scoring (open > extend) sample on the Pallas path
+      run generic 3600 python "$REPO/tools/bench_generic.py" ;;
+    bigref)
+      run bigref 14000 python "$REPO/tools/bigref_e2e.py" ;;
+    denovo)
+      run denovo 14000 python "$REPO/tools/denovo_e2e.py" \
+          --check-subsample 500 ;;
+  esac
+done
+echo "QUEUE DONE" | tee -a "$LOG"
