@@ -94,7 +94,8 @@ def main():
            "reads": len(reads), "aligned": n_aligned, "correct_locus": n_ok,
            "align_seconds": round(dt, 1),
            "reads_per_s": round(len(reads) / dt, 2),
-           "stage_seconds": stages}
+           "stage_seconds": stages,
+           "counters": {k: int(v) for k, v in aligner.counters.items()}}
     print(json.dumps(res))
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
