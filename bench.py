@@ -49,22 +49,17 @@ def run_smoke(platform: str) -> str:
     return "pass"
 
 
-def main():
+def measure_dispatch(params, kernel_mod, T: int) -> dict:
+    """Shared tunnel-safe measurement harness: NBUF rotated input buffers
+    per device program (the tunnel caches identical executions), rounds
+    scanned inside ONE program (RTT cannot pollute), RTT floor subtracted,
+    median of 10 samples reported with min/max.  Any methodology change
+    lands here once, for every GCUPS benchmark (bench.py,
+    tools/bench_generic.py)."""
     import jax
     import jax.numpy as jnp
-    from darwin_tpu.config import Config
-    from darwin_tpu.ops import gact, dispatch
 
-    if dispatch.use_pallas():
-        from darwin_tpu.ops import gact_pallas as kernel_mod
-    else:
-        kernel_mod = gact
-
-    cfg = Config()
-    params = gact.make_params(cfg)
-    T = cfg.tile_size            # 384, the production extend-tile geometry
     platform = jax.devices()[0].platform
-    smoke = run_smoke(platform)
     B = 512 if platform != "cpu" else 32
     NBUF = 16 if platform != "cpu" else 2
 
@@ -138,15 +133,38 @@ def main():
     cells = B * T * T
     samples = sorted(cells / t / 1e9 for t in times)
     gcups = float(np.median(samples))
-    print(json.dumps({
-        "metric": "gact_gcups",
+    return {
         "value": round(gcups, 3),
         "unit": "GCUPS",
-        "vs_baseline": round(gcups / 100.0, 4),
-        "smoke": smoke,
         "n_samples": len(samples),
         "min": round(samples[0], 3),
         "max": round(samples[-1], 3),
+    }
+
+
+def main():
+    import jax
+    from darwin_tpu.config import Config
+    from darwin_tpu.ops import gact, dispatch
+
+    if dispatch.use_pallas():
+        from darwin_tpu.ops import gact_pallas as kernel_mod
+    else:
+        kernel_mod = gact
+
+    cfg = Config()
+    params = gact.make_params(cfg)
+    smoke = run_smoke(jax.devices()[0].platform)
+    res = measure_dispatch(params, kernel_mod, cfg.tile_size)
+    print(json.dumps({
+        "metric": "gact_gcups",
+        "value": res["value"],
+        "unit": "GCUPS",
+        "vs_baseline": round(res["value"] / 100.0, 4),
+        "smoke": smoke,
+        "n_samples": res["n_samples"],
+        "min": res["min"],
+        "max": res["max"],
     }))
 
 

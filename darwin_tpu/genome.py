@@ -101,9 +101,10 @@ class GenomeStore:
             # pallas cl32) carry per-chromosome lengths in int32 — check the
             # stated invariant once at load instead of leaving it implicit
             raise ValueError(
-                f"chromosome {name!r} is {len(seq_bytes)} bases; single "
-                "chromosomes must be < 2^31 (the multi-chromosome genome "
-                "space is uint32/4 GiB)")
+                f"chromosome {name!r} is {len(padded)} bases after "
+                f"{WORD_SIZE}-padding ({len(seq_bytes)} raw); single "
+                "chromosomes must be < 2^31 including padding (the "
+                "multi-chromosome genome space is uint32/4 GiB)")
         chrom = Chromosome(
             name=name,
             start=self._size,

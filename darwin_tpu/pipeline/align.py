@@ -216,6 +216,7 @@ class Aligner:
 # whether a prior run() exported DARWIN_TPU_KERNEL from cfg.processor_library
 # (so a later default-config run() can clear it instead of inheriting it)
 _kernel_env_forced = False
+_kernel_env_prior = None   # the user's pre-force DARWIN_TPU_KERNEL value
 
 
 def enable_compile_cache():
@@ -258,19 +259,26 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     err = err or sys.stderr
     cfg = cfg or Config()
     cfg.do_overlap = do_overlap
+    global _kernel_env_forced, _kernel_env_prior
     if cfg.processor_library in ("pallas", "lax"):
         # the reference's pluggable-kernel hook (params.cfg [FPGA]
         # processor_library); maps to the backend selector
-        global _kernel_env_forced
+        if not _kernel_env_forced:
+            _kernel_env_prior = os.environ.get("DARWIN_TPU_KERNEL")
         os.environ["DARWIN_TPU_KERNEL"] = cfg.processor_library
         _kernel_env_forced = True
         from darwin_tpu.ops.dispatch import use_pallas
         use_pallas.cache_clear()
     elif _kernel_env_forced:
         # a previous run() in this process forced a backend; a default
-        # config must not silently inherit it
-        os.environ.pop("DARWIN_TPU_KERNEL", None)
+        # config must not silently inherit it — restore whatever the
+        # user had exported before the forced run (possibly nothing)
+        if _kernel_env_prior is None:
+            os.environ.pop("DARWIN_TPU_KERNEL", None)
+        else:
+            os.environ["DARWIN_TPU_KERNEL"] = _kernel_env_prior
         _kernel_env_forced = False
+        _kernel_env_prior = None
         from darwin_tpu.ops.dispatch import use_pallas
         use_pallas.cache_clear()
 

@@ -40,7 +40,8 @@ def chain_anchors(hits_bin, hits_off, hits_pos, n_hits,
                   bin_size: int, overlap: bool) -> List[Anchor]:
     """hits_* : int arrays (valid prefix of length n_hits, sorted by
     (bin, offset)); anc_* : anchors in bin-ascending order."""
-    sv = 1 if overlap else (1 << 12) // bin_size
+    from darwin_tpu.seeding.dsoft import sv_bins
+    sv = sv_bins(bin_size, overlap)  # must equal the device pruning window
 
     from darwin_tpu import native
     res = native.chain_anchors_native(hits_bin, hits_off, hits_pos, n_hits,

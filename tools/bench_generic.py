@@ -1,31 +1,33 @@
-"""Generic-scoring GCUPS sample: same dispatch benchmark as bench.py but
-with a scoring where |gap_open| > |gap_extend| on both lanes — the class
-that round 2 dropped off the Pallas path onto the ~4x-slower lax kernel.
-Round 3's closed-form generic column scan keeps it on the Pallas kernels
-(gact_pallas.py); the reference's one kernel takes any scoring at full
-speed (software/Processor.cpp:48-80), so this must stay within ~2x of the
+"""Generic-scoring GCUPS sample: the dispatch benchmark of bench.py run
+with a scoring where opening is cheaper than extending on both lanes
+(gap_open > gap_extend) — the class that round 2 dropped off the Pallas
+path onto the ~4x-slower lax kernel.  Round 3's closed-form generic
+column scan keeps it on the Pallas kernels (gact_pallas.py); the
+reference's one kernel takes any scoring at full speed
+(software/Processor.cpp:48-80), so this must stay within ~2x of the
 default-scoring number.
 
 Prints ONE JSON line {"metric": "gact_gcups_generic", ...}; the round
-artifact records it beside BENCH_r03.
+artifact records it beside BENCH_r03.  Measurement methodology lives in
+bench.measure_dispatch (shared, not duplicated).
 """
 
 import json
-import time
+import os
+import sys
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    from bench import measure_dispatch
     from darwin_tpu.config import Config
     from darwin_tpu.ops import gact, dispatch
 
     cfg = Config()
     # a legal params.cfg scoring in the generic class: opening cheaper
-    # than extending on both lanes (open > extend), which round 2 could
-    # not run on the Pallas path (VERDICT missing #1)
+    # than extending on both lanes, which round 2 could not run on the
+    # Pallas path (VERDICT missing #1)
     cfg.gap_open = -1
     cfg.gap_extend = -3
     cfg.long_gap_open = -2
@@ -36,75 +38,16 @@ def main():
         "generic scoring fell off the Pallas path"
 
     from darwin_tpu.ops import gact_pallas as kernel_mod
-    T = cfg.tile_size
-    platform = jax.devices()[0].platform
-    B = 512 if platform != "cpu" else 32
-    NBUF = 16 if platform != "cpu" else 2
-
-    rng = np.random.default_rng(0)
-    bufs = []
-    for _ in range(NBUF):
-        rcodes = rng.integers(0, 4, size=(B, T)).astype(np.uint8)
-        qcodes = rcodes.copy()
-        sub = rng.random((B, T)) < 0.10
-        qcodes[sub] = (qcodes[sub] + rng.integers(1, 4, sub.sum())) % 4
-        bufs.append((jax.device_put(qcodes), jax.device_put(rcodes)))
-    jax.block_until_ready(bufs)
-    qlens = jnp.full(B, T, jnp.int32)
-    rlens = jnp.full(B, T, jnp.int32)
-    start_end = jnp.ones(B, bool)
-    qstack = jnp.stack([b[0] for b in bufs])
-    rstack = jnp.stack([b[1] for b in bufs])
-
-    @jax.jit
-    def rounds(qs, rs):
-        def body(acc, qr):
-            q, r = qr
-            out = kernel_mod.align_and_traceback_device(
-                q, r, qlens, rlens, start_end, params, 2 * T,
-                all_start_end=True)
-            return (acc + jnp.sum(out["rec"]) + jnp.sum(out["q_steps_all"])
-                    + jnp.sum(out["score"])), None
-        acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, rs))
-        return acc
-
-    int(rounds(qstack, rstack))  # compile + warm
-
-    rng2 = np.random.default_rng(1)
-    stacks = []
-    for s in range(10):
-        q2 = np.asarray(qstack).copy()
-        flip = rng2.random(q2.shape) < 0.05
-        q2[flip] = (q2[flip] + 1 + s) % 4
-        stacks.append(jax.device_put(q2))
-    jax.block_until_ready(stacks)
-
-    @jax.jit
-    def tiny(x):
-        return x + 1
-    int(tiny(jnp.int32(0)))
-    t0 = time.perf_counter()
-    int(tiny(jnp.int32(1)))
-    rtt = time.perf_counter() - t0
-
-    times = []
-    for q2 in stacks:
-        t0 = time.perf_counter()
-        int(rounds(q2, rstack))
-        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF)
-
-    cells = B * T * T
-    samples = sorted(cells / t / 1e9 for t in times)
-    gcups = float(np.median(samples))
+    res = measure_dispatch(params, kernel_mod, cfg.tile_size)
     print(json.dumps({
         "metric": "gact_gcups_generic",
-        "value": round(gcups, 3),
+        "value": res["value"],
         "unit": "GCUPS",
         "scoring": {"go": cfg.gap_open, "ge": cfg.gap_extend,
                     "goL": cfg.long_gap_open, "geL": cfg.long_gap_extend},
-        "n_samples": len(samples),
-        "min": round(samples[0], 3),
-        "max": round(samples[-1], 3),
+        "n_samples": res["n_samples"],
+        "min": res["min"],
+        "max": res["max"],
     }))
 
 

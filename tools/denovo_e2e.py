@@ -26,11 +26,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def write_fasta(path, reads):
-    with open(path, "w") as f:
-        for name, seq in reads:
-            f.write(f">{name}\n")
-            f.write(seq.tobytes().decode() + "\n")
 
 
 def main():
@@ -47,7 +42,7 @@ def main():
     from darwin_tpu.config import Config
     from darwin_tpu.genome import GenomeStore
     from darwin_tpu.pipeline.align import run, enable_compile_cache
-    from darwin_tpu.utils.simulate import simulate_reads
+    from darwin_tpu.utils.simulate import simulate_reads, write_fasta
 
     enable_compile_cache()
     os.makedirs(args.workdir, exist_ok=True)
@@ -60,10 +55,9 @@ def main():
     store.add_chromosome("g", bases)
     store.finalize()
     sim = simulate_reads(store, args.reads, args.read_len, seed=11)
-    reads = [(n, s) for n, s, _ in sim]
     reads_fa = os.path.join(args.workdir, "reads.fa")
-    write_fasta(reads_fa, reads)
-    print(f"simulated {len(reads)} x {args.read_len} bp reads "
+    write_fasta(reads_fa, sim)
+    print(f"simulated {len(sim)} x {args.read_len} bp reads "
           f"({args.coverage}x of {genome_bp / 1e6:.1f} Mbp)", flush=True)
 
     cfg = Config()
@@ -87,7 +81,7 @@ def main():
     if args.check_subsample:
         n = args.check_subsample
         sub_fa = os.path.join(args.workdir, "sub.fa")
-        write_fasta(sub_fa, reads[:n])
+        write_fasta(sub_fa, sim[:n])
         sub_out = os.path.join(args.workdir, "sub.mhap")
         with open(sub_out, "w") as sink:
             run(sub_fa, sub_fa, True, cfg=Config(), out=sink)
