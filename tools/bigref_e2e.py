@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--window", type=int, default=9)
     ap.add_argument("--out", default="BIGREF_r03.json")
+    ap.add_argument("--allow-small", action="store_true",
+                    help="permit < 2 GiB genomes (same-hardware reference "
+                         "point for per-base build rate / per-read stages)")
     args = ap.parse_args()
 
     from darwin_tpu.config import Config
@@ -52,7 +55,8 @@ def main():
     store.finalize()
     print(f"genome: {store.size / 1e9:.2f} Gbp coordinate space "
           f"({time.time() - t0:.0f}s)", flush=True)
-    assert store.size > (1 << 31), "demo must exceed the int32 cap"
+    assert args.allow_small or store.size > (1 << 31), \
+        "demo must exceed the int32 cap (--allow-small overrides)"
 
     cfg = Config()
     cfg.minimizer_window = args.window  # w=9: table shares HBM w/ genome

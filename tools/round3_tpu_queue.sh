@@ -11,7 +11,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 LOG=/tmp/r3_queue.log
 steps=("$@")
-[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic bigref denovo)
+[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic bigref01 bigref denovo)
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -31,6 +31,13 @@ for s in "${steps[@]}"; do
     generic)
       # generic-scoring (open > extend) sample on the Pallas path
       run generic 3600 python "$REPO/tools/bench_generic.py" ;;
+    bigref01)
+      # small-genome reference point on the same hardware: per-base build
+      # rate + per-read stage profile to compare the 3.2 Gbp run against
+      # (VERDICT #2/#3 done criteria); also warms the compile cache
+      run bigref01 7000 python "$REPO/tools/bigref_e2e.py" --allow-small \
+          --gbp 0.1 --reads 128 --batch 128 \
+          --out "$REPO/BIGREF01_r03.json" ;;
     bigref)
       run bigref 14000 python "$REPO/tools/bigref_e2e.py" ;;
     denovo)
