@@ -20,6 +20,30 @@ import time
 import numpy as np
 
 
+def wait_for_device() -> bool:
+    """The axon tunnel can flap; a bare ``jax.devices()`` then hangs this
+    process indefinitely.  Probe in a subprocess (killable) and retry for
+    up to DARWIN_TPU_TUNNEL_WAIT seconds (default 1800) so a transient
+    outage at bench time doesn't lose the round's artifact.  Returns False
+    if the backend never came up."""
+    deadline = time.time() + float(
+        os.environ.get("DARWIN_TPU_TUNNEL_WAIT", "1800"))
+    probe = "import jax; d = jax.devices(); print(d[0].platform)"
+    while True:
+        try:
+            proc = subprocess.run([sys.executable, "-c", probe],
+                                  capture_output=True, text=True,
+                                  timeout=120)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        sys.stderr.write("bench: device backend unreachable; retrying\n")
+        time.sleep(60)
+
+
 def run_smoke(platform: str) -> str:
     """Real-hardware Mosaic gate: run tools/tpu_smoke.py (Pallas vs lax
     bit-identity on representative shapes) before benchmarking, so a
@@ -143,6 +167,12 @@ def measure_dispatch(params, kernel_mod, T: int) -> dict:
 
 
 def main():
+    if not wait_for_device():
+        print(json.dumps({
+            "metric": "gact_gcups", "value": 0.0, "unit": "GCUPS",
+            "vs_baseline": 0.0, "smoke": "tunnel_down",
+        }))
+        sys.exit(1)
     import jax
     from darwin_tpu.config import Config
     from darwin_tpu.ops import gact, dispatch
