@@ -403,6 +403,149 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int):
     return sh[:n], sp[:n], n
 
 
+@functools.partial(jax.jit, static_argnames=("n_buckets", "k", "w"),
+                   donate_argnums=(9,))
+def _csr_count_accum(rows, off, istart, iend, nvalid, first, resume0,
+                     carry_prev, goff, counts, n_buckets: int,
+                     k: int, w: int):
+    """CSR build pass A: scan a row batch and scatter-add per-bucket seed
+    counts into the donated (n_buckets,) int32 array.  Non-emitting slots
+    carry the 0xFFFFFFFF sentinel hash, which maps out of bounds and is
+    dropped by the scatter; nothing per-position leaves the device."""
+    B = rows.shape[0]
+    carry_in = jnp.zeros((B,), jnp.int32).at[0].set(
+        jnp.where(resume0 != 0, carry_prev, 0))
+    h, _p, carry_out, _nem = _chunk_scan_pairs(
+        rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
+    idx = jnp.minimum(h, jnp.uint32(n_buckets)).astype(jnp.int32)
+    counts = counts.at[idx].add(1, mode="drop")
+    return counts, carry_out[B - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"),
+                   donate_argnums=(9, 10))
+def _csr_fill_accum(rows, off, istart, iend, nvalid, first, resume0,
+                    carry_prev, goff, cursor, posbuf, k: int, w: int):
+    """CSR build pass B: scan a row batch, sort its (hash, pos) pairs, and
+    scatter each position into its final bucket slot.
+
+    slot = cursor[hash] + within-batch rank: ``cursor`` starts as the
+    exclusive bucket offsets and advances by each batch's per-bucket count,
+    so — batches arriving in ascending global position order, ranks sorted
+    by (hash, pos) — every bucket ends up position-ascending, exactly the
+    sorted-pair table's in-bucket order (and the reference's per-bucket
+    sort, software/seed_pos_table.cpp:166-174)."""
+    B = rows.shape[0]
+    n_buckets = cursor.shape[0]
+    n_pos = posbuf.shape[0]
+    carry_in = jnp.zeros((B,), jnp.int32).at[0].set(
+        jnp.where(resume0 != 0, carry_prev, 0))
+    h, p, carry_out, _nem = _chunk_scan_pairs(
+        rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
+    hs, ps = _sort_pairs(h, p)                    # sentinels sort last
+    m = hs.shape[0]
+    i = jnp.arange(m, dtype=jnp.int32)
+    run_first = jnp.concatenate(
+        [jnp.ones(1, bool), hs[1:] != hs[:-1]])
+    rank = i - jax.lax.cummax(jnp.where(run_first, i, 0))
+    valid = hs != jnp.uint32(0xFFFFFFFF)
+    hidx = jnp.minimum(hs, jnp.uint32(n_buckets)).astype(jnp.int32)
+    base = jnp.take(cursor, jnp.minimum(hidx, n_buckets - 1))
+    slot = jnp.where(valid, base + rank, n_pos)   # invalid -> OOB, dropped
+    posbuf = posbuf.at[slot].set(ps, mode="drop")
+    cursor = cursor.at[hidx].add(1, mode="drop")
+    return cursor, posbuf, carry_out[B - 1]
+
+
+def build_csr_streaming(seqs, k: int, w: int):
+    """Streaming CSR seed-table build: (bucket_offsets, positions, n).
+
+    Two passes over the genome (counts, then fill), each streaming 2 Mbp
+    row batches; peak HBM is offsets + cursor (2 x 4 B x 4^k) + positions
+    (4 B per emitted seed) + one row batch — never the 8 B-per-seed pair
+    accumulator or its sort workspace.  This is what fits the DEFAULT
+    minimizer window (w=3) of a 3.2 Gbp genome on one 16 GB chip:
+    ~1.6 G seeds cost 6.4 GB here vs 12.8 GB as sorted pairs plus a
+    >2x sort transient.  The reference's counterpart is the two-phase
+    bucket scatter (software/seed_pos_table.cpp:143-174: count, offset
+    cumsum, fill, per-bucket sort).
+
+    bucket_offsets: (4^k + 1,) int32, offsets[h] .. offsets[h+1] is the
+    position-ascending slice of bucket h.  positions: (n,) uint32.
+    Requires 2*k <= 28 (offset array footprint) and n < 2^31.
+    """
+    assert 2 * k <= 28, "CSR bucket array gated at 4^14 entries (1 GiB)"
+    n_buckets = 1 << (2 * k)
+    halo = w + 1
+    CL = CHUNK + halo + k - 1
+    CL = ((CL + 15) // 16) * 16
+
+    nvalids = []
+    work = []
+    for si, (codes2, length_unpadded, _g) in enumerate(seqs):
+        r16 = ((length_unpadded + 15) // 16) * 16
+        nvalid = r16 - k
+        nvalids.append(nvalid)
+        for s in range(0, max(nvalid, 1), CHUNK):
+            work.append((si, s))
+
+    def batches():
+        """Yield packed row batches (fresh host buffers: the stream never
+        host-syncs, so uploads may still be in flight when the next batch
+        is packed)."""
+        for base in range(0, len(work), CROWS):
+            batch = work[base:base + CROWS]
+            rows_np = np.zeros((CROWS, CL), np.uint8)
+            off = np.zeros(CROWS, np.int32)
+            istart = np.zeros(CROWS, np.int32)
+            iend = np.zeros(CROWS, np.int32)
+            nv = np.zeros(CROWS, np.int32)
+            first = np.zeros(CROWS, np.int32)
+            goff = np.zeros(CROWS, np.int32)
+            for i, (si, s) in enumerate(batch):
+                codes2 = seqs[si][0]
+                o = max(s - halo, 0)
+                seg_ = codes2[o:o + CL]
+                rows_np[i, :len(seg_)] = seg_
+                rows_np[i, len(seg_):] = 0
+                off[i] = o
+                istart[i] = s
+                iend[i] = min(s + CHUNK, nvalids[si])
+                nv[i] = nvalids[si]
+                goff[i] = seqs[si][2]
+                if s == 0 or i == 0:
+                    first[i] = 1
+            resume0 = 1 if batch[0][1] != 0 else 0
+            yield (jnp.asarray(rows_np), jnp.asarray(off),
+                   jnp.asarray(istart), jnp.asarray(iend), jnp.asarray(nv),
+                   jnp.asarray(first), jnp.int32(resume0),
+                   jnp.asarray(goff))
+
+    counts = jnp.zeros((n_buckets + 1,), jnp.int32)
+    carry_prev = jnp.int32(0)
+    for rows, off, istart, iend, nv, first, resume0, goff in batches():
+        counts, carry_prev = _csr_count_accum(
+            rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
+            counts, n_buckets, k, w)
+
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts[:n_buckets])])
+    n = int(offsets[-1])
+    assert n < (1 << 31), \
+        f"{n} seeds overflow a single int32-indexed CSR table; use the " \
+        "hash-sharded index (parallel/shard_index.py)"
+
+    cursor = offsets[:n_buckets]
+    posbuf = jnp.zeros((max(n, 1),), jnp.uint32)
+    carry_prev = jnp.int32(0)
+    for rows, off, istart, iend, nv, first, resume0, goff in batches():
+        cursor, posbuf, carry_prev = _csr_fill_accum(
+            rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
+            cursor, posbuf, k, w)
+    del cursor
+    return offsets, posbuf[:n], n
+
+
 def scan_sorted_pairs_device(seqs, k: int, w: int):
     """Device-resident seed-table build: minimizer scan + (hash, position)
     sort without any per-position host round trip.

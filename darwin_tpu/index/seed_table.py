@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from darwin_tpu.genome import GenomeStore
-from darwin_tpu.index.minimizers import (minimizer_scan,
+from darwin_tpu.index.minimizers import (build_csr_streaming,
+                                         minimizer_scan,
                                          scan_many_minimizers,
                                          scan_sorted_pairs_device,
                                          scan_sorted_pairs_streaming)
@@ -38,12 +39,23 @@ DEVICE_BUILD_MAX_BASES = 512 << 20
 
 @dataclasses.dataclass
 class SeedTable:
-    sorted_hashes: jnp.ndarray   # (N,) uint32, ascending
+    """Two on-device layouts, same bucket contents and in-bucket order:
+
+    * pairs (default): ``sorted_hashes`` + ``positions``, 8 B/seed; bucket
+      ranges resolved by (LUT-accelerated) binary search at query time.
+    * csr: ``bucket_offsets`` (4^k + 1 int32, ~1 GiB at k = 14) +
+      ``positions``, ~4 B/seed; bucket ranges are two direct gathers.
+      ``sorted_hashes`` is None.  This is the reference's own CSR shape
+      (software/seed_pos_table.cpp:40-240) and what fits the default
+      w = 3 index of a 3.2 Gbp genome beside it on one 16 GB chip.
+    """
+    sorted_hashes: jnp.ndarray | None  # (N,) uint32, ascending (pairs)
     positions: jnp.ndarray       # (N,) uint32, ascending within equal hash
     kmer_size: int
     minimizer_window: int
     ref_size: int                # full coordinate-space size (incl. guard)
     kmer_max_occurence: int
+    bucket_offsets: jnp.ndarray | None = None  # (4^k + 1,) int32 (csr)
     # Prefix LUT accelerating bucket range lookups: lut[p] = first table
     # index whose hash has top-bit prefix >= p (size 2^bits + 1).  Queries
     # then binary-search only inside their prefix range (lut_steps
@@ -58,7 +70,7 @@ class SeedTable:
 
     @property
     def num_seeds(self) -> int:
-        return int(self.sorted_hashes.shape[0])
+        return int(self.positions.shape[0])
 
     def ensure_lut(self, bits: int = 22):
         """Build the prefix LUT on device (idempotent, ~one searchsorted).
@@ -66,8 +78,9 @@ class SeedTable:
         hash32 values are masked to 2k <= 30 bits, so hashes and prefix
         bounds are safely compared as int32.
         """
-        if self.prefix_lut is not None or self.num_seeds == 0:
-            return self
+        if (self.prefix_lut is not None or self.num_seeds == 0
+                or self.bucket_offsets is not None):
+            return self         # csr needs no search acceleration
         # scale the LUT to the table (a few entries per seed is plenty);
         # 2^22+1 int32 = 16 MB caps the footprint for huge tables
         bits = min(bits, 2 * self.kmer_size,
@@ -89,7 +102,13 @@ class SeedTable:
         and within the occupancy cap (SeedPosTable::IsPresent,
         software/seed_pos_table.h:537-569 / seed_pos_table.cpp:242-250).
         The host copy of the hash table is memoized so repeated queries are
-        O(log N) like the reference's, not an O(N) device fetch each."""
+        O(log N) like the reference's, not an O(N) device fetch each.  The
+        csr layout answers with one two-element device gather instead (the
+        1 GiB offset array is not worth a host copy)."""
+        if self.bucket_offsets is not None:
+            lo, hi = (int(x) for x in np.asarray(
+                self.bucket_offsets[jnp.array([kmer_hash, kmer_hash + 1])]))
+            return 0 < hi - lo <= self.kmer_max_occurence
         h = self._hashes_host
         if h is None:
             h = self._hashes_host = np.asarray(self.sorted_hashes)
@@ -100,29 +119,36 @@ class SeedTable:
     def save(self, path: str):
         """Persist the index (no reference equivalent — the reference
         rebuilds from FASTA every run; SURVEY.md section 5 'checkpoint')."""
-        np.savez_compressed(
-            path,
-            hashes=np.asarray(self.sorted_hashes),
-            positions=np.asarray(self.positions),
-            meta=np.array([self.kmer_size, self.minimizer_window,
-                           self.ref_size, self.kmer_max_occurence],
-                          dtype=np.int64),
-        )
+        arrays = {
+            "positions": np.asarray(self.positions),
+            "meta": np.array([self.kmer_size, self.minimizer_window,
+                              self.ref_size, self.kmer_max_occurence],
+                             dtype=np.int64),
+        }
+        if self.bucket_offsets is not None:
+            arrays["offsets"] = np.asarray(self.bucket_offsets)
+        else:
+            arrays["hashes"] = np.asarray(self.sorted_hashes)
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "SeedTable":
         z = np.load(path)
         k, w, ref_size, maxocc = (int(x) for x in z["meta"])
         return cls(
-            sorted_hashes=jnp.asarray(z["hashes"]),
+            sorted_hashes=(jnp.asarray(z["hashes"])
+                           if "hashes" in z else None),
             positions=jnp.asarray(z["positions"]),
             kmer_size=k, minimizer_window=w,
             ref_size=ref_size, kmer_max_occurence=maxocc,
+            bucket_offsets=(jnp.asarray(z["offsets"])
+                            if "offsets" in z else None),
         )
 
 
 def build_seed_table(store: GenomeStore, cfg,
-                     method: str | None = None) -> SeedTable:
+                     method: str | None = None,
+                     layout: str = "pairs") -> SeedTable:
     """Build the table from a finalized GenomeStore.
 
     Mirrors the index phase (software/main.cpp:307-509): per-chromosome
@@ -132,9 +158,26 @@ def build_seed_table(store: GenomeStore, cfg,
     method: None = auto (all-candidates device build under the gate,
     streaming device build past it); "host" forces the numpy argsort path
     (identity oracle for tests); "stream" forces the streaming build.
+    layout: "pairs" (default) or "csr" — see SeedTable.  "csr" builds the
+    bucket-offset table directly (two streaming device passes, ~half the
+    resident HBM and no 8 B/seed sort transient); requires k <= 14.
     """
     k, w = cfg.seed_size, cfg.minimizer_window
     assert 3 < k <= 15, "reference constraint (software/main.cpp:310-311)"
+    if layout == "csr":
+        seqs = [(store.codes2[c.start:c.start + c.length],
+                 c.length_unpadded, c.start) for c in store.chromosomes]
+        offsets, positions, _n = build_csr_streaming(seqs, k, w)
+        return SeedTable(
+            sorted_hashes=None,
+            positions=positions,
+            kmer_size=k,
+            minimizer_window=w,
+            ref_size=store.size,
+            kmer_max_occurence=cfg.kmer_max_occurence(store.size),
+            bucket_offsets=offsets,
+        )
+    assert layout == "pairs", layout
     codes2 = store.codes2
     # Fixed-shape chunked scan over ALL chromosomes as one work list: one
     # compiled program regardless of chromosome count/lengths, and short

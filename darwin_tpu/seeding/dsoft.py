@@ -98,10 +98,18 @@ def _ranged_search(h, q, lo, hi, steps: int, side: str):
 
 
 def _bucket_ranges(sorted_hashes, qhash, lut=None, lut_shift=0,
-                   lut_steps=0):
-    """(start, end) table ranges per queried hash; prefix-LUT accelerated
-    when a LUT is provided (SeedTable.ensure_lut), plain searchsorted
-    otherwise (hash-range shards)."""
+                   lut_steps=0, bucket_offsets=None):
+    """(start, end) table ranges per queried hash.  Three resolutions:
+    csr bucket-offset table (two direct gathers — no search at all),
+    prefix-LUT-accelerated bisect (SeedTable.ensure_lut), or plain
+    searchsorted (hash-range shards)."""
+    if bucket_offsets is not None:
+        # hashes are masked to 2k <= 28 bits, so qhash and qhash+1 index
+        # the (4^k + 1)-entry offset array safely as int32
+        q = qhash.astype(jnp.int32)
+        start = jnp.take(bucket_offsets, q)
+        end = jnp.take(bucket_offsets, q + 1)
+        return start, end
     if lut is None:
         start = jnp.searchsorted(sorted_hashes, qhash,
                                  side="left").astype(jnp.int32)
@@ -272,12 +280,13 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
 def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
                  k, w, num_seeds, max_stride, overlap, threshold,
                  bin_size, max_occ, mq_cap, a_cap, hit_cap=None,
-                 lut=None, lut_shift=0, lut_steps=0):
+                 lut=None, lut_shift=0, lut_steps=0, bucket_offsets=None):
     """Batched D-SOFT hit generation + anchor selection.
 
     codes2 : (B, Lcap) uint8 2-bit query codes (row-padded with 0)
     lengths: (B,) int32
-    sorted_hashes/positions: the SeedTable arrays.
+    sorted_hashes/positions: the SeedTable arrays (sorted_hashes is None
+    for the csr layout, which passes bucket_offsets instead).
     hit_cap: flat hit-buffer width (default: the lossless worst case
              mq_cap*max_occ).  Rows needing more slots report it in
              n_flat_raw; the caller must retry with a bigger cap.
@@ -297,7 +306,7 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
     offs, qhash, slot_ok = _queried_minimizers(
         codes2, lengths, k, w, num_seeds, max_stride, overlap, mq_cap)
     start, end = _bucket_ranges(sorted_hashes, qhash, lut, lut_shift,
-                                lut_steps)
+                                lut_steps, bucket_offsets)
     binf, offf, posf, okf, bucket_ok, total = _bucket_hits_flat(
         positions, offs, (start, end), end - start, slot_ok,
         max_occ, bin_size, hit_cap)

@@ -53,6 +53,11 @@ class Seeder:
         # (hit/anchor array fetch), seed_chain (host chaining)
         self.stage_seconds: dict | None = None
         if mesh is not None:
+            if table.bucket_offsets is not None:
+                raise ValueError(
+                    "hash-sharded seeding partitions the sorted-pair "
+                    "layout; build the table with layout='pairs' for "
+                    "mesh=... (csr is the single-chip big-table answer)")
             from darwin_tpu.parallel.shard_index import shard_seed_table
             self.sharded_table = shard_seed_table(table, mesh)
             n = self.sharded_table.n_shards
@@ -129,7 +134,8 @@ class Seeder:
                     mq_cap=mq_cap, a_cap=a_cap,
                     hit_cap=hit_cap, lut=self.table.prefix_lut,
                     lut_shift=self.table.lut_shift,
-                    lut_steps=self.table.lut_steps)
+                    lut_steps=self.table.lut_steps,
+                    bucket_offsets=self.table.bucket_offsets)
             # worst-case-padded anchor buffers use a tiny real prefix —
             # fetch the counts first, then only the used columns
             counts = np.asarray(jnp.stack(

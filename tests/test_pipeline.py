@@ -206,3 +206,20 @@ def test_large_tile_escalation(small_world):
     assert dels and sum(dels) >= dele - 64, cigar
     matches = sum(int(x) for x in re.findall(r"(\d+)M", cigar))
     assert matches >= left + right - 64, cigar
+
+
+def test_end_to_end_sam_csr_layout(small_world):
+    """The csr seed-table layout must leave the e2e SAM byte-identical:
+    the bucket-offset gathers replace the LUT bisect but the hit stream —
+    and everything downstream — is the same."""
+    from darwin_tpu.index.seed_table import build_seed_table
+
+    cfg = pipeline_cfg()
+    store = small_world
+    sim = simulate_reads(store, 8, 2000, seed=5)
+    reads = [make_read(n, s) for n, s, _ in sim]
+    lines_pairs = Aligner(cfg, store).align_batch(reads)
+    table = build_seed_table(store, cfg, layout="csr")
+    lines_csr = Aligner(cfg, store, table=table).align_batch(reads)
+    assert lines_pairs == lines_csr
+    assert lines_pairs, "no alignments produced"

@@ -392,3 +392,94 @@ def test_hit_pruning_is_chain_exact(rng, overlap):
             assert x.anchor_score == y.anchor_score
             assert x.left_chained.tolist() == y.left_chained.tolist()
             assert x.right_chained.tolist() == y.right_chained.tolist()
+
+
+def test_csr_build_matches_pairs(rng):
+    """The two-pass streaming CSR build must hold exactly the pairs
+    table's contents: offsets[h]..offsets[h+1] slices the same
+    position-ascending bucket the sorted-pair table stores for h —
+    including builds spanning multiple row batches (cross-batch cursor
+    advance + anchor carries) and chromosome resets inside a batch."""
+    from darwin_tpu.index import seed_table as st
+
+    cfg = Config()
+    cfg.seed_size = 11          # 4^11 buckets: empties exist, and the host
+    store = GenomeStore()       # offset oracle stays cheap
+    for i, L in enumerate((2_300_000, 123_456, 17, 50_000)):
+        store.add_chromosome(f"c{i}", _random_genome(rng, L))
+    store.finalize()
+    t_csr = st.build_seed_table(store, cfg, layout="csr")
+    t_host = st.build_seed_table(store, cfg, method="host")
+
+    k = cfg.seed_size
+    hashes = np.asarray(t_host.sorted_hashes)
+    off_ref = np.searchsorted(
+        hashes, np.arange((1 << (2 * k)) + 1, dtype=np.int64)
+    ).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(t_csr.bucket_offsets),
+                                  off_ref)
+    np.testing.assert_array_equal(np.asarray(t_csr.positions),
+                                  np.asarray(t_host.positions))
+
+    # save/load roundtrip keeps the layout; is_present answers via the
+    # offset gather
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "idx.npz")
+        t_csr.save(p)
+        t2 = st.SeedTable.load(p)
+        assert t2.sorted_hashes is None
+        np.testing.assert_array_equal(np.asarray(t2.bucket_offsets),
+                                      off_ref)
+    present = hashes[len(hashes) // 2]
+    counts = np.diff(off_ref)
+    absent = int(np.flatnonzero(counts == 0)[0])
+    assert t_csr.is_present(int(present)) == t_host.is_present(int(present))
+    assert not t_csr.is_present(absent)
+
+
+def test_csr_dsoft_matches_pairs(rng):
+    """dsoft_device through the csr bucket-offset gathers must equal the
+    pairs/LUT path bit-for-bit: hits, anchors, counts."""
+    from darwin_tpu.index import seed_table as st
+    from darwin_tpu.seeding.dsoft import dsoft_device, mq_cap_for
+
+    cfg = small_cfg()
+    store = GenomeStore()
+    store.add_chromosome("c0", _random_genome(rng, 200_000))
+    store.add_chromosome("c1", _random_genome(rng, 30_000))
+    store.finalize()
+    t_pairs = st.build_seed_table(store, cfg).ensure_lut()
+    t_csr = st.build_seed_table(store, cfg, layout="csr")
+
+    B, L = 4, 2048
+    codes2 = np.zeros((B, L), np.uint8)
+    lengths = np.zeros(B, np.int32)
+    for b in range(B):
+        s = int(rng.integers(0, store.size - L))
+        seg = store.codes2[s:s + L].copy()
+        flip = rng.random(L) < 0.1
+        seg[flip] = (seg[flip] + 1) % 4
+        codes2[b] = seg
+        lengths[b] = L
+    kw = dict(k=cfg.seed_size, w=cfg.minimizer_window,
+              num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+              overlap=False, threshold=cfg.dsoft_threshold,
+              bin_size=cfg.bin_size,
+              max_occ=t_pairs.kmer_max_occurence,
+              mq_cap=mq_cap_for(L - cfg.seed_size + 1, cfg.num_seeds,
+                                cfg.max_stride, False),
+              a_cap=512, hit_cap=4096)
+    r_pairs = dsoft_device(jnp.asarray(codes2), jnp.asarray(lengths),
+                           t_pairs.sorted_hashes, t_pairs.positions,
+                           lut=t_pairs.prefix_lut,
+                           lut_shift=t_pairs.lut_shift,
+                           lut_steps=t_pairs.lut_steps, **kw)
+    r_csr = dsoft_device(jnp.asarray(codes2), jnp.asarray(lengths),
+                         None, t_csr.positions,
+                         bucket_offsets=t_csr.bucket_offsets, **kw)
+    for key in ("hits_bin", "hits_off", "hits_pos", "n_hits",
+                "anc_pos", "anc_off", "anc_bin", "n_anchors",
+                "n_anchors_raw", "n_queried_buckets", "n_flat_raw"):
+        np.testing.assert_array_equal(
+            np.asarray(r_pairs[key]), np.asarray(r_csr[key]), err_msg=key)

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--allow-small", action="store_true",
                     help="permit < 2 GiB genomes (same-hardware reference "
                          "point for per-base build rate / per-read stages)")
+    ap.add_argument("--layout", choices=("pairs", "csr"), default="pairs",
+                    help="seed-table layout: csr (bucket offsets + "
+                         "positions, ~half the HBM) is what fits the "
+                         "DEFAULT w=3 index of a 3.2 Gbp genome on chip")
     args = ap.parse_args()
 
     from darwin_tpu.config import Config
@@ -61,7 +65,11 @@ def main():
     cfg = Config()
     cfg.minimizer_window = args.window  # w=9: table shares HBM w/ genome
     t0 = time.time()
-    aligner = Aligner(cfg, store)
+    table = None
+    if args.layout == "csr":
+        from darwin_tpu.index.seed_table import build_seed_table
+        table = build_seed_table(store, cfg, layout="csr")
+    aligner = Aligner(cfg, store, table=table)
     build_seconds = time.time() - t0
     print(f"seed table: {aligner.table.num_seeds / 1e6:.0f} M seeds "
           f"({build_seconds:.0f}s)", flush=True)
@@ -93,6 +101,7 @@ def main():
               sorted(aligner.stage_seconds.items(),
                      key=lambda kv: -kv[1])}
     res = {"genome_gbp": round(store.size / 1e9, 2),
+           "layout": args.layout, "window": args.window,
            "seeds_m": round(aligner.table.num_seeds / 1e6, 1),
            "build_seconds": round(build_seconds, 1),
            "reads": len(reads), "aligned": n_aligned, "correct_locus": n_ok,

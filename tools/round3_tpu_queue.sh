@@ -11,7 +11,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 LOG=/tmp/r3_queue.log
 steps=("$@")
-[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic bigref01 bigref denovo)
+[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic bigref01 bigref denovo bigref_w3)
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -43,6 +43,12 @@ for s in "${steps[@]}"; do
     denovo)
       run denovo 14000 python "$REPO/tools/denovo_e2e.py" \
           --check-subsample 500 ;;
+    bigref_w3)
+      # the DEFAULT minimizer window (w=3) at 3.2 Gbp on ONE chip — the
+      # csr layout halves table HBM (~6.4 GB positions + 1 GB offsets
+      # beside the 3.2 GB genome); round 2 had no single-chip story here
+      run bigref_w3 18000 python "$REPO/tools/bigref_e2e.py" \
+          --window 3 --layout csr --out "$REPO/BIGREF_W3_r03.json" ;;
   esac
 done
 echo "QUEUE DONE" | tee -a "$LOG"
