@@ -20,10 +20,16 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     index_cache = None
     profile_dir = None
+    layout = "pairs"
     rest = []
     for a in argv:
         if a.startswith("--index-cache="):
             index_cache = a.split("=", 1)[1]
+        elif a.startswith("--index-layout="):
+            layout = a.split("=", 1)[1]
+            if layout not in ("pairs", "csr"):
+                print(f"unknown index layout {layout!r}", file=sys.stderr)
+                return 1
         elif a.startswith("--profile="):
             profile_dir = a.split("=", 1)[1]
         elif a.startswith("--platform="):
@@ -37,6 +43,7 @@ def main(argv=None):
     if len(rest) < 3:
         print("Usage: python -m darwin_tpu.cli <REFERENCE>.fasta "
               "<READS>.fasta OVERLAP(0/1) [--index-cache=FILE.npz] "
+              "[--index-layout=pairs|csr] "
               "[--profile=DIR] [--platform=cpu|tpu]", file=sys.stderr)
         return 1
     ref_path, reads_path, overlap = rest[0], rest[1], bool(int(rest[2]))
@@ -50,9 +57,10 @@ def main(argv=None):
         import jax
         with jax.profiler.trace(profile_dir):
             run(ref_path, reads_path, overlap, cfg=cfg,
-                index_cache=index_cache)
+                index_cache=index_cache, index_layout=layout)
     else:
-        run(ref_path, reads_path, overlap, cfg=cfg, index_cache=index_cache)
+        run(ref_path, reads_path, overlap, cfg=cfg,
+            index_cache=index_cache, index_layout=layout)
     return 0
 
 

@@ -238,7 +238,9 @@ def build_seed_table(store: GenomeStore, cfg,
     )
 
 
-def build_read_seed_table(reads, cfg) -> tuple[SeedTable, "GenomeStore"]:
+def build_read_seed_table(reads, cfg,
+                          layout: str = "pairs"
+                          ) -> tuple[SeedTable, "GenomeStore"]:
     """Overlap (de-novo) mode: index the reads themselves.
 
     The reference runs the same index phase on the reads file passed as the
@@ -250,4 +252,4 @@ def build_read_seed_table(reads, cfg) -> tuple[SeedTable, "GenomeStore"]:
     for r in reads:
         store.add_chromosome(r.name, r.seq)
     store.finalize()
-    return build_seed_table(store, cfg), store
+    return build_seed_table(store, cfg, layout=layout), store

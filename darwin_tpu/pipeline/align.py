@@ -57,15 +57,18 @@ class Aligner:
 
     def __init__(self, cfg: Config, store: GenomeStore,
                  table: SeedTable | None = None, mesh=None,
-                 shard_index: bool = False):
+                 shard_index: bool = False, index_layout: str = "pairs"):
         """mesh: optional jax.sharding.Mesh — tile batches shard across it
         (genome/read buffers replicated, zero hot-loop communication;
         parallel/shard.py).  shard_index additionally shards the seed
         table by hash range over the same mesh (for tables beyond one
-        device's HBM; parallel/shard_index.py) — bit-identical output."""
+        device's HBM; parallel/shard_index.py) — bit-identical output.
+        index_layout: 'pairs' or 'csr' (see index/seed_table.SeedTable);
+        ignored when a prebuilt table is passed."""
         self.cfg = cfg
         self.store = store
-        self.table = table or build_seed_table(store, cfg)
+        self.table = table or build_seed_table(store, cfg,
+                                               layout=index_layout)
         self.seeder = Seeder(self.table, cfg,
                              mesh=mesh if shard_index else None)
         # wall-clock per pipeline stage (single-threaded profiling aid —
@@ -243,7 +246,8 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
         cfg: Config | None = None, out=None, err=None,
         reads_per_batch: int = 128, index_cache: str | None = None,
         pipeline_depth: int = 2,
-        reads_range: tuple[int, int] | None = None) -> dict:
+        reads_range: tuple[int, int] | None = None,
+        index_layout: str = "pairs") -> dict:
     """pipeline_depth: read batches in flight (the TPU analog of the
     reference's token-throttled TBB flow graph, software/main.cpp:607-624);
     batch i+1's device dispatches overlap batch i's host-side decode and
@@ -296,11 +300,13 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
         table = SeedTable.load(index_cache)
         if (table.kmer_size != cfg.seed_size
                 or table.minimizer_window != cfg.minimizer_window
-                or table.ref_size != store.size):
+                or table.ref_size != store.size
+                or (table.bucket_offsets is not None)
+                != (index_layout == "csr")):
             print(f"index cache {index_cache} does not match the "
                   "reference/config; rebuilding", file=err)
             table = None
-    aligner = Aligner(cfg, store, table=table)
+    aligner = Aligner(cfg, store, table=table, index_layout=index_layout)
     if index_cache is not None and table is None:
         aligner.table.save(index_cache)
         print(f"Seed table saved to {index_cache}", file=err)

@@ -119,3 +119,47 @@ def test_processor_library_selects_backend(tmp_path):
     cfg = load_config(str(p))
     assert cfg.processor_library == "lax"
     assert Config().processor_library == ""
+
+
+@pytest.mark.slow
+def test_cli_index_layout_csr(tmp_path, capsys, monkeypatch):
+    """--index-layout=csr must produce byte-identical SAM, cache/reload
+    the csr table, and rebuild when the cached layout differs."""
+    from darwin_tpu import cli
+    from darwin_tpu.io.fasta import load_genome
+    from darwin_tpu.utils.simulate import simulate_reads
+
+    store = load_genome(REF)
+    sim = simulate_reads(store, 2, 1500, seed=8)
+    reads_path = tmp_path / "r.fa"
+    with open(reads_path, "w") as f:
+        for n, s, _ in sim:
+            f.write(f">{n}\n{bytes(np.asarray(s, np.uint8)).decode()}\n")
+    cache = tmp_path / "idx.npz"
+    monkeypatch.chdir(tmp_path)
+
+    import contextlib
+    out_pairs, out_csr, out_csr2 = io.StringIO(), io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(out_pairs):
+        assert cli.main([REF, str(reads_path), "0"]) == 0
+    capsys.readouterr()
+    with contextlib.redirect_stdout(out_csr):
+        assert cli.main([REF, str(reads_path), "0", "--index-layout=csr",
+                         f"--index-cache={cache}"]) == 0
+    assert "Seed table saved" in capsys.readouterr().err
+    assert out_pairs.getvalue() == out_csr.getvalue()
+
+    # reload keeps the csr layout; asking for pairs invalidates the cache
+    with contextlib.redirect_stdout(out_csr2):
+        assert cli.main([REF, str(reads_path), "0", "--index-layout=csr",
+                         f"--index-cache={cache}"]) == 0
+    err = capsys.readouterr().err
+    assert "Seed table saved" not in err and "rebuilding" not in err
+    assert out_csr.getvalue() == out_csr2.getvalue()
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert cli.main([REF, str(reads_path), "0",
+                         f"--index-cache={cache}"]) == 0
+    assert "rebuilding" in capsys.readouterr().err
+
+    assert cli.main([REF, str(reads_path), "0",
+                     "--index-layout=bogus"]) == 1
