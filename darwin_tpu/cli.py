@@ -20,7 +20,7 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     index_cache = None
     profile_dir = None
-    layout = "pairs"
+    layout = None     # accept a cached table's layout; build pairs anew
     rest = []
     for a in argv:
         if a.startswith("--index-cache="):
@@ -55,10 +55,11 @@ def main(argv=None):
         cfg.do_overlap = overlap
     if profile_dir:
         import jax
-        with jax.profiler.trace(profile_dir):
-            run(ref_path, reads_path, overlap, cfg=cfg,
-                index_cache=index_cache, index_layout=layout)
+        ctx = jax.profiler.trace(profile_dir)
     else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
         run(ref_path, reads_path, overlap, cfg=cfg,
             index_cache=index_cache, index_layout=layout)
     return 0

@@ -474,7 +474,8 @@ def build_csr_streaming(seqs, k: int, w: int):
     position-ascending slice of bucket h.  positions: (n,) uint32.
     Requires 2*k <= 28 (offset array footprint) and n < 2^31.
     """
-    assert 2 * k <= 28, "CSR bucket array gated at 4^14 entries (1 GiB)"
+    if 2 * k > 28:
+        raise ValueError("CSR bucket array gated at 4^14 entries (1 GiB)")
     n_buckets = 1 << (2 * k)
     halo = w + 1
     CL = CHUNK + halo + k - 1

@@ -164,7 +164,14 @@ def build_seed_table(store: GenomeStore, cfg,
     """
     k, w = cfg.seed_size, cfg.minimizer_window
     assert 3 < k <= 15, "reference constraint (software/main.cpp:310-311)"
+    if layout not in ("pairs", "csr"):
+        raise ValueError(f"unknown index layout {layout!r}")
     if layout == "csr":
+        if 2 * k > 28:
+            raise ValueError(
+                f"csr layout supports seed_size <= 14 (the 4^{k} "
+                "bucket-offset array would exceed 1 GiB); use the "
+                "pairs layout")
         seqs = [(store.codes2[c.start:c.start + c.length],
                  c.length_unpadded, c.start) for c in store.chromosomes]
         offsets, positions, _n = build_csr_streaming(seqs, k, w)
@@ -177,7 +184,6 @@ def build_seed_table(store: GenomeStore, cfg,
             kmer_max_occurence=cfg.kmer_max_occurence(store.size),
             bucket_offsets=offsets,
         )
-    assert layout == "pairs", layout
     codes2 = store.codes2
     # Fixed-shape chunked scan over ALL chromosomes as one work list: one
     # compiled program regardless of chromosome count/lengths, and short

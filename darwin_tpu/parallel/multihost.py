@@ -107,7 +107,8 @@ def run_multihost(ref_path: str, reads_path: str, do_overlap: bool,
                   coordinator_address: str | None = None,
                   num_processes: int | None = None,
                   process_id: int | None = None,
-                  index_cache: str | None = None) -> dict:
+                  index_cache: str | None = None,
+                  index_layout: str | None = None) -> dict:
     """Full distributed run: shard reads across hosts, align locally,
     merge shards on rank 0 (+ allgathered global counters).  With
     num_processes=None/1 this degrades to the single-process
@@ -130,7 +131,8 @@ def run_multihost(ref_path: str, reads_path: str, do_overlap: bool,
     with open(local_out, "w") as out:
         counters = align_mod.run(ref_path, reads_path, do_overlap, cfg=cfg,
                                  out=out, err=err, index_cache=index_cache,
-                                 reads_range=(start, stop))
+                                 reads_range=(start, stop),
+                                 index_layout=index_layout)
 
     if nproc > 1:
         import jax.experimental.multihost_utils as mh

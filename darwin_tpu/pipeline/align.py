@@ -247,7 +247,7 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
         reads_per_batch: int = 128, index_cache: str | None = None,
         pipeline_depth: int = 2,
         reads_range: tuple[int, int] | None = None,
-        index_layout: str = "pairs") -> dict:
+        index_layout: str | None = None) -> dict:
     """pipeline_depth: read batches in flight (the TPU analog of the
     reference's token-throttled TBB flow graph, software/main.cpp:607-624);
     batch i+1's device dispatches overlap batch i's host-side decode and
@@ -257,7 +257,13 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
 
     Reads are streamed in bounded batches (io.fasta.iter_read_batches);
     reads_range=(start, stop) aligns only that index slice of the stream
-    (multi-host sharding).  Returns the counter dict."""
+    (multi-host sharding).  Returns the counter dict.
+
+    index_layout: 'pairs' or 'csr' forces that seed-table layout (a cached
+    index of the other layout is rebuilt); None (default) accepts whatever
+    layout a valid cache holds and builds 'pairs' otherwise."""
+    if index_layout not in (None, "pairs", "csr"):
+        raise ValueError(f"unknown index layout {index_layout!r}")
     enable_compile_cache()
     out = out or sys.stdout
     err = err or sys.stderr
@@ -301,12 +307,14 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
         if (table.kmer_size != cfg.seed_size
                 or table.minimizer_window != cfg.minimizer_window
                 or table.ref_size != store.size
-                or (table.bucket_offsets is not None)
-                != (index_layout == "csr")):
+                or (index_layout is not None
+                    and (table.bucket_offsets is not None)
+                    != (index_layout == "csr"))):
             print(f"index cache {index_cache} does not match the "
                   "reference/config; rebuilding", file=err)
             table = None
-    aligner = Aligner(cfg, store, table=table, index_layout=index_layout)
+    aligner = Aligner(cfg, store, table=table,
+                      index_layout=index_layout or "pairs")
     if index_cache is not None and table is None:
         aligner.table.save(index_cache)
         print(f"Seed table saved to {index_cache}", file=err)

@@ -149,7 +149,9 @@ def test_cli_index_layout_csr(tmp_path, capsys, monkeypatch):
     assert "Seed table saved" in capsys.readouterr().err
     assert out_pairs.getvalue() == out_csr.getvalue()
 
-    # reload keeps the csr layout; asking for pairs invalidates the cache
+    # reload keeps the csr layout — also with NO layout flag (the default
+    # accepts the cache's layout rather than destroying an expensive csr
+    # cache); an explicit pairs request does invalidate it
     with contextlib.redirect_stdout(out_csr2):
         assert cli.main([REF, str(reads_path), "0", "--index-layout=csr",
                          f"--index-cache={cache}"]) == 0
@@ -158,6 +160,10 @@ def test_cli_index_layout_csr(tmp_path, capsys, monkeypatch):
     assert out_csr.getvalue() == out_csr2.getvalue()
     with contextlib.redirect_stdout(io.StringIO()):
         assert cli.main([REF, str(reads_path), "0",
+                         f"--index-cache={cache}"]) == 0
+    assert "rebuilding" not in capsys.readouterr().err
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert cli.main([REF, str(reads_path), "0", "--index-layout=pairs",
                          f"--index-cache={cache}"]) == 0
     assert "rebuilding" in capsys.readouterr().err
 

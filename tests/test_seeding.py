@@ -483,3 +483,19 @@ def test_csr_dsoft_matches_pairs(rng):
                 "n_anchors_raw", "n_queried_buckets", "n_flat_raw"):
         np.testing.assert_array_equal(
             np.asarray(r_pairs[key]), np.asarray(r_csr[key]), err_msg=key)
+
+
+def test_csr_layout_validation(rng):
+    """csr with k=15 (legal for pairs) must fail loudly up front, before
+    any build work; unknown layouts too."""
+    from darwin_tpu.index import seed_table as st
+
+    store = GenomeStore()
+    store.add_chromosome("c0", _random_genome(rng, 1000))
+    store.finalize()
+    cfg = Config()
+    cfg.seed_size = 15
+    with pytest.raises(ValueError, match="seed_size <= 14"):
+        st.build_seed_table(store, cfg, layout="csr")
+    with pytest.raises(ValueError, match="unknown index layout"):
+        st.build_seed_table(store, cfg, layout="bogus")
