@@ -299,6 +299,62 @@ def _sort_pairs(hcat, pcat):
     return jax.lax.sort((hcat, pcat), num_keys=2)
 
 
+def _packed_row_batches(seqs, k: int, w: int):
+    """Shared streaming-build work list: yield (CROWS, CL) row batches as
+    device arrays — (rows, off, istart, iend, nvalid, first, resume0,
+    goff) — covering every chromosome chunk in ascending global position
+    order.  Used by both streaming builds (sorted pairs and csr); any fix
+    to the halo/carry/packing semantics lands once, here.
+
+    Fresh host buffers per batch: the streams never host-sync, so uploads
+    may still be in flight when the next batch is packed.  ``goff``
+    (chromosome global start) is staged as uint32 and reinterpreted as
+    int32 — starts >= 2^31 (3.2 Gbp genomes) would overflow an int32
+    assignment, while the device's wrap-around add + uint32 cast recovers
+    the exact mod-2^32 position.
+    """
+    halo = w + 1
+    CL = CHUNK + halo + k - 1
+    CL = ((CL + 15) // 16) * 16
+
+    nvalids = []
+    work = []
+    for si, (codes2, length_unpadded, _g) in enumerate(seqs):
+        r16 = ((length_unpadded + 15) // 16) * 16
+        nvalid = r16 - k
+        nvalids.append(nvalid)
+        for s in range(0, max(nvalid, 1), CHUNK):
+            work.append((si, s))
+
+    for base in range(0, len(work), CROWS):
+        batch = work[base:base + CROWS]
+        rows_np = np.zeros((CROWS, CL), np.uint8)
+        off = np.zeros(CROWS, np.int32)
+        istart = np.zeros(CROWS, np.int32)
+        iend = np.zeros(CROWS, np.int32)
+        nv = np.zeros(CROWS, np.int32)
+        first = np.zeros(CROWS, np.int32)
+        goff = np.zeros(CROWS, np.uint32)
+        for i, (si, s) in enumerate(batch):
+            codes2 = seqs[si][0]
+            o = max(s - halo, 0)
+            seg_ = codes2[o:o + CL]
+            rows_np[i, :len(seg_)] = seg_
+            rows_np[i, len(seg_):] = 0
+            off[i] = o
+            istart[i] = s
+            iend[i] = min(s + CHUNK, nvalids[si])
+            nv[i] = nvalids[si]
+            goff[i] = seqs[si][2]
+            if s == 0 or i == 0:
+                first[i] = 1
+        resume0 = 1 if batch[0][1] != 0 else 0
+        yield (jnp.asarray(rows_np), jnp.asarray(off),
+               jnp.asarray(istart), jnp.asarray(iend), jnp.asarray(nv),
+               jnp.asarray(first), jnp.int32(resume0),
+               jnp.asarray(goff.view(np.int32)))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w"),
                    donate_argnums=(9, 10))
 def _chunk_scan_pairs_accum(rows, off, istart, iend, nvalid, first,
@@ -349,51 +405,16 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int):
     CL = CHUNK + halo + k - 1
     CL = ((CL + 15) // 16) * 16
 
-    nvalids = []
-    work = []
-    for si, (codes2, length_unpadded, _g) in enumerate(seqs):
-        r16 = ((length_unpadded + 15) // 16) * 16
-        nvalid = r16 - k
-        nvalids.append(nvalid)
-        for s in range(0, max(nvalid, 1), CHUNK):
-            work.append((si, s))
-
     slot_len = CROWS * CL
     buf_h = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
     buf_p = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
     woff = jnp.int32(0)
     carry_prev = jnp.int32(0)
 
-    for base in range(0, len(work), CROWS):
-        batch = work[base:base + CROWS]
-        # fresh host buffers per batch: the stream never host-syncs, so
-        # jnp.asarray uploads may still be in flight when the next batch
-        # is packed — reusing one mutable buffer here corrupts them
-        rows_np = np.zeros((CROWS, CL), np.uint8)
-        off = np.zeros(CROWS, np.int32)
-        istart = np.zeros(CROWS, np.int32)
-        iend = np.zeros(CROWS, np.int32)
-        nv = np.zeros(CROWS, np.int32)
-        first = np.zeros(CROWS, np.int32)
-        goff = np.zeros(CROWS, np.int32)
-        for i, (si, s) in enumerate(batch):
-            codes2 = seqs[si][0]
-            o = max(s - halo, 0)
-            seg_ = codes2[o:o + CL]
-            rows_np[i, :len(seg_)] = seg_
-            rows_np[i, len(seg_):] = 0
-            off[i] = o
-            istart[i] = s
-            iend[i] = min(s + CHUNK, nvalids[si])
-            nv[i] = nvalids[si]
-            goff[i] = seqs[si][2]
-            if s == 0 or i == 0:
-                first[i] = 1
-        resume0 = 1 if batch[0][1] != 0 else 0
+    for rows, off, istart, iend, nv, first, resume0, goff \
+            in _packed_row_batches(seqs, k, w):
         buf_h, buf_p, woff, carry_prev = _chunk_scan_pairs_accum(
-            jnp.asarray(rows_np), jnp.asarray(off), jnp.asarray(istart),
-            jnp.asarray(iend), jnp.asarray(nv), jnp.asarray(first),
-            jnp.int32(resume0), carry_prev, jnp.asarray(goff),
+            rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
             buf_h, buf_p, woff, k, w)
 
     n = int(woff)
@@ -409,17 +430,20 @@ def _csr_count_accum(rows, off, istart, iend, nvalid, first, resume0,
                      carry_prev, goff, counts, n_buckets: int,
                      k: int, w: int):
     """CSR build pass A: scan a row batch and scatter-add per-bucket seed
-    counts into the donated (n_buckets,) int32 array.  Non-emitting slots
-    carry the 0xFFFFFFFF sentinel hash, which maps out of bounds and is
-    dropped by the scatter; nothing per-position leaves the device."""
+    counts into the donated (n_buckets + 1,) int32 array.  Non-emitting
+    slots carry the 0xFFFFFFFF sentinel hash, clamped to the extra slot
+    ``counts[n_buckets]`` (a trash bin the offset cumsum later excludes);
+    nothing per-position leaves the device.  Also returns the batch's real
+    emission count so the caller can total seeds in exact host arithmetic
+    (the int32 offset cumsum cannot represent >= 2^31)."""
     B = rows.shape[0]
     carry_in = jnp.zeros((B,), jnp.int32).at[0].set(
         jnp.where(resume0 != 0, carry_prev, 0))
-    h, _p, carry_out, _nem = _chunk_scan_pairs(
+    h, _p, carry_out, nem = _chunk_scan_pairs(
         rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
     idx = jnp.minimum(h, jnp.uint32(n_buckets)).astype(jnp.int32)
     counts = counts.at[idx].add(1, mode="drop")
-    return counts, carry_out[B - 1]
+    return counts, carry_out[B - 1], nem
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"),
@@ -477,69 +501,33 @@ def build_csr_streaming(seqs, k: int, w: int):
     if 2 * k > 28:
         raise ValueError("CSR bucket array gated at 4^14 entries (1 GiB)")
     n_buckets = 1 << (2 * k)
-    halo = w + 1
-    CL = CHUNK + halo + k - 1
-    CL = ((CL + 15) // 16) * 16
-
-    nvalids = []
-    work = []
-    for si, (codes2, length_unpadded, _g) in enumerate(seqs):
-        r16 = ((length_unpadded + 15) // 16) * 16
-        nvalid = r16 - k
-        nvalids.append(nvalid)
-        for s in range(0, max(nvalid, 1), CHUNK):
-            work.append((si, s))
-
-    def batches():
-        """Yield packed row batches (fresh host buffers: the stream never
-        host-syncs, so uploads may still be in flight when the next batch
-        is packed)."""
-        for base in range(0, len(work), CROWS):
-            batch = work[base:base + CROWS]
-            rows_np = np.zeros((CROWS, CL), np.uint8)
-            off = np.zeros(CROWS, np.int32)
-            istart = np.zeros(CROWS, np.int32)
-            iend = np.zeros(CROWS, np.int32)
-            nv = np.zeros(CROWS, np.int32)
-            first = np.zeros(CROWS, np.int32)
-            goff = np.zeros(CROWS, np.int32)
-            for i, (si, s) in enumerate(batch):
-                codes2 = seqs[si][0]
-                o = max(s - halo, 0)
-                seg_ = codes2[o:o + CL]
-                rows_np[i, :len(seg_)] = seg_
-                rows_np[i, len(seg_):] = 0
-                off[i] = o
-                istart[i] = s
-                iend[i] = min(s + CHUNK, nvalids[si])
-                nv[i] = nvalids[si]
-                goff[i] = seqs[si][2]
-                if s == 0 or i == 0:
-                    first[i] = 1
-            resume0 = 1 if batch[0][1] != 0 else 0
-            yield (jnp.asarray(rows_np), jnp.asarray(off),
-                   jnp.asarray(istart), jnp.asarray(iend), jnp.asarray(nv),
-                   jnp.asarray(first), jnp.int32(resume0),
-                   jnp.asarray(goff))
 
     counts = jnp.zeros((n_buckets + 1,), jnp.int32)
     carry_prev = jnp.int32(0)
-    for rows, off, istart, iend, nv, first, resume0, goff in batches():
-        counts, carry_prev = _csr_count_accum(
+    nems = []
+    for rows, off, istart, iend, nv, first, resume0, goff \
+            in _packed_row_batches(seqs, k, w):
+        counts, carry_prev, nem = _csr_count_accum(
             rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
             counts, n_buckets, k, w)
+        nems.append(nem)        # lazy device scalars; no stream sync
 
+    # total seeds in exact host arithmetic — the int32 offset cumsum wraps
+    # silently at 2^31, so it cannot be its own overflow check
+    n = int(np.asarray(jnp.stack(nems)).astype(np.int64).sum()) if nems \
+        else 0
+    if n >= (1 << 31):
+        raise ValueError(
+            f"{n} seeds overflow a single int32-indexed CSR table; use "
+            "the hash-sharded index (parallel/shard_index.py)")
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts[:n_buckets])])
-    n = int(offsets[-1])
-    assert n < (1 << 31), \
-        f"{n} seeds overflow a single int32-indexed CSR table; use the " \
-        "hash-sharded index (parallel/shard_index.py)"
 
     cursor = offsets[:n_buckets]
     posbuf = jnp.zeros((max(n, 1),), jnp.uint32)
     carry_prev = jnp.int32(0)
-    for rows, off, istart, iend, nv, first, resume0, goff in batches():
+    for rows, off, istart, iend, nv, first, resume0, goff \
+            in _packed_row_batches(seqs, k, w):
         cursor, posbuf, carry_prev = _csr_fill_accum(
             rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
             cursor, posbuf, k, w)
@@ -555,69 +543,28 @@ def scan_sorted_pairs_device(seqs, k: int, w: int):
     (sorted_hashes, sorted_positions) device uint32 arrays, ascending by
     (hash, position) — exactly the order of the host path's stable argsort
     over (hash << 32 | pos) keys (keys are unique: positions are globally
-    disjoint).  The only transfers are the row uploads, one carry scalar per
-    batch, and one final count.
+    disjoint).  The only transfers are the row uploads and one final
+    count (the anchor carry chains on device).
 
     Transient HBM is ~8 bytes per scanned position (the sort holds every
     candidate slot, emitted or not); callers gate on genome size and fall
     back to the host path beyond it.
     """
-    halo = w + 1
-    CL = CHUNK + halo + k - 1
-    CL = ((CL + 15) // 16) * 16
-
-    nvalids = []
-    work = []
-    for si, (codes2, length_unpadded, _g) in enumerate(seqs):
-        r16 = ((length_unpadded + 15) // 16) * 16
-        nvalid = r16 - k
-        nvalids.append(nvalid)
-        for s in range(0, max(nvalid, 1), CHUNK):
-            work.append((si, s))
-
-    rows_np = np.zeros((CROWS, CL), np.uint8)
-    off = np.zeros(CROWS, np.int32)
-    istart = np.zeros(CROWS, np.int32)
-    iend = np.zeros(CROWS, np.int32)
-    nv = np.zeros(CROWS, np.int32)
-    first = np.zeros(CROWS, np.int32)
-    carry = np.zeros(CROWS, np.int32)
-    goff = np.zeros(CROWS, np.int32)
-
     hs, ps, nems = [], [], []
-    carry_val = 0
-    for base in range(0, len(work), CROWS):
-        batch = work[base:base + CROWS]
-        rows_np[:] = 0
-        nv[:] = 0
-        iend[:] = 0
-        first[:] = 0
-        carry[:] = 0
-        goff[:] = 0
-        for i, (si, s) in enumerate(batch):
-            codes2 = seqs[si][0]
-            o = max(s - halo, 0)
-            seg_ = codes2[o:o + CL]
-            rows_np[i, :len(seg_)] = seg_
-            rows_np[i, len(seg_):] = 0
-            off[i] = o
-            istart[i] = s
-            iend[i] = min(s + CHUNK, nvalids[si])
-            nv[i] = nvalids[si]
-            goff[i] = seqs[si][2]
-            if s == 0:
-                first[i] = 1
-            elif i == 0:
-                first[i] = 1
-                carry[i] = carry_val
+    carry_prev = jnp.int32(0)
+    for rows, off, istart, iend, nv, first, resume0, goff \
+            in _packed_row_batches(seqs, k, w):
+        # a batch-leading row that continues its sequence resumes the
+        # previous batch's carried anchor; the carry scalar stays on
+        # device (no per-batch sync)
+        carry = jnp.zeros((rows.shape[0],), jnp.int32).at[0].set(
+            jnp.where(resume0 != 0, carry_prev, 0))
         h, p, carry_out, nem = _chunk_scan_pairs(
-            jnp.asarray(rows_np), jnp.asarray(off), jnp.asarray(istart),
-            jnp.asarray(iend), jnp.asarray(nv), jnp.asarray(carry),
-            jnp.asarray(first), jnp.asarray(goff), k, w)
+            rows, off, istart, iend, nv, carry, first, goff, k, w)
         hs.append(h)
         ps.append(p)
         nems.append(nem)
-        carry_val = int(np.asarray(carry_out)[len(batch) - 1])
+        carry_prev = carry_out[rows.shape[0] - 1]
 
     if not hs:
         z = jnp.zeros(0, jnp.uint32)

@@ -167,6 +167,10 @@ def build_seed_table(store: GenomeStore, cfg,
     if layout not in ("pairs", "csr"):
         raise ValueError(f"unknown index layout {layout!r}")
     if layout == "csr":
+        if method is not None:
+            raise ValueError(
+                "csr has a single (streaming device) build; the method "
+                "parameter selects among pairs builds only")
         if 2 * k > 28:
             raise ValueError(
                 f"csr layout supports seed_size <= 14 (the 4^{k} "

@@ -499,3 +499,36 @@ def test_csr_layout_validation(rng):
         st.build_seed_table(store, cfg, layout="csr")
     with pytest.raises(ValueError, match="unknown index layout"):
         st.build_seed_table(store, cfg, layout="bogus")
+
+
+def test_streaming_builds_past_int32_chromosome_starts(rng):
+    """Chromosome global starts >= 2^31 (the 3.2 Gbp genome) must stage
+    into the streaming builds without OverflowError (numpy 2 rejects
+    out-of-range int32 assignment) and come back as exact uint32
+    positions.  Small codes with a forged global start keep the test
+    cheap while exercising the same wrap-and-reinterpret path."""
+    from darwin_tpu.index import minimizers as mz
+
+    k, w = 11, 5
+    L = 4096
+    codes2 = rng.integers(0, 4, L).astype(np.uint8)
+    gstart = 2_400_000_000            # > 2^31
+    seqs = [(codes2, L, gstart)]
+
+    p_loc, h_loc = mz.scan_chromosome_minimizers(codes2, L, k, w)
+    want = sorted(zip(h_loc.tolist(),
+                      ((p_loc + gstart) % (1 << 32)).tolist()))
+
+    sh, sp, n = mz.scan_sorted_pairs_streaming(seqs, k, w, cap=1 << 16)
+    assert n == len(want)
+    got = list(zip(np.asarray(sh).tolist(), np.asarray(sp).tolist()))
+    assert got == want
+
+    offs, pos, n2 = mz.build_csr_streaming(seqs, k, w)
+    assert n2 == len(want)
+    offs = np.asarray(offs)
+    pos = np.asarray(pos)
+    got_csr = []
+    for h in sorted(set(h for h, _ in want)):
+        got_csr.extend((h, int(p)) for p in pos[offs[h]:offs[h + 1]])
+    assert got_csr == want
