@@ -11,7 +11,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 LOG=/tmp/r3_queue.log
 steps=("$@")
-[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic bigref01 bigref denovo bigref_w3)
+[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic scatter bigref01 bigref denovo bigref_w3)
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -31,6 +31,10 @@ for s in "${steps[@]}"; do
     generic)
       # generic-scoring (open > extend) sample on the Pallas path
       run generic 3600 python "$REPO/tools/bench_generic.py" ;;
+    scatter)
+      # csr-build op throughput (scatter-add/set, big cumsum): tells us
+      # early whether bigref_w3's build will be bound by a slow scatter
+      run scatter 1800 python "$REPO/tools/scatter_probe.py" ;;
     bigref01)
       # small-genome reference point on the same hardware: per-base build
       # rate + per-read stage profile to compare the 3.2 Gbp run against
