@@ -128,7 +128,12 @@ def mhap_lines(alignments: List[ExtendAlignment], reads,
         ovl = (ral + qal) // 2
         if ovl < cfg.min_overlap or r1 == r2:
             continue
-        error = (1.0 * (ovl - matches)) / ovl
+        # the reference narrows to float32 before printf re-promotes
+        # (printer.cpp:166 `float error = ...`); the narrowing moves
+        # half-ulp cases across the %.3f rounding boundary (e.g.
+        # 147/1200: double 0.12249999... -> "0.122", float32
+        # 0.12250000238 -> "0.123")
+        error = float(np.float32((1.0 * (ovl - matches)) / ovl))
         rs, re = 1 + e.reference_start_offset, 1 + e.reference_end_offset
         qs, qe = 1 + e.query_start_offset, 1 + e.query_end_offset
         rlen = store.chromosomes[e.chr_id].length_unpadded

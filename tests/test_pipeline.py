@@ -11,7 +11,8 @@ from darwin_tpu.config import Config
 from darwin_tpu.genome import GenomeStore
 from darwin_tpu.ops import oracle as orc
 from darwin_tpu.pipeline.align import Aligner
-from darwin_tpu.pipeline.extend import _Ext, alignment_score
+from darwin_tpu.pipeline.extend import (_Ext, ExtendAlignment,
+                                        alignment_score)
 from darwin_tpu.pipeline.filter import ExtendLocation
 from darwin_tpu.utils.simulate import simulate_reads
 from darwin_tpu.genome import make_read
@@ -223,3 +224,44 @@ def test_end_to_end_sam_csr_layout(small_world):
     lines_csr = Aligner(cfg, store, table=table).align_batch(reads)
     assert lines_pairs == lines_csr
     assert lines_pairs, "no alignments produced"
+
+
+def test_mhap_error_rate_float_narrowing():
+    """The MHAP error rate must round like the reference's float32
+    narrowing (printer.cpp:166 `float error = (1.0*(ovl-matches))/ovl`):
+    147/1200 is 0.12249999... in double ("0.122") but 0.12250000238 as
+    float32 ("0.123").  Caught live by tools/denovo_e2e.py's reference-
+    binary spot check."""
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore, make_read
+    from darwin_tpu.pipeline import printer
+
+    # ovl = (1194 + 1206)//2 = 1200; matches = 1053 of the 1206 aligned
+    # columns (no indels in the aligned strings for simplicity)
+    ral, qal = 1194, 1206
+    alen = 1206
+    matches = 1053
+    ar = bytearray(b"A" * alen)
+    aq = bytearray(b"A" * alen)
+    for i in range(alen - matches):
+        aq[i] = ord("C")
+    store = GenomeStore()
+    rng = np.random.default_rng(0)
+    other = rng.choice(list(b"ACGT"), size=3000).astype(np.uint8)
+    store.add_chromosome("refread", other)
+    store.finalize()
+    cfg = pipeline_cfg()
+    cfg.do_overlap = True
+    cfg.min_overlap = 400
+    read = make_read("qread", other[:3000])
+    al = ExtendAlignment(
+        read_num=0, chr_id=0, strand="+",
+        reference_start_offset=1789, query_start_offset=1,
+        reference_end_offset=1789 + ral - 1,
+        query_end_offset=1 + qal - 1,
+        reference_length=2983, query_length=2996,
+        aligned_reference=bytes(ar), aligned_query=bytes(aq), score=100)
+    lines = printer.mhap_lines([al], [read], store, cfg)
+    assert lines, "record suppressed"
+    fields = lines[0].split()
+    assert fields[2] == "0.123", lines[0]
