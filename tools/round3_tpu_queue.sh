@@ -25,7 +25,11 @@ run() { # name timeout_s cmd...
 for s in "${steps[@]}"; do
   case $s in
     smoke)
-      run smoke 3600 python "$REPO/tools/tpu_smoke.py" || exit 1 ;;
+      # log loudly but keep going on failure: bench.py re-runs the smoke
+      # gate itself (and emits smoke:fail), so a harness bug in the
+      # higher-level smoke checks must not starve every other artifact
+      run smoke 3600 python "$REPO/tools/tpu_smoke.py" \
+          || echo "WARNING: smoke failed; continuing" | tee -a "$LOG" ;;
     bench)
       run bench 3600 python "$REPO/bench.py" ;;
     generic)
