@@ -104,6 +104,13 @@ def main():
     check("mesh:identical", single == meshed)
     check("mesh:nonempty", len(single) >= 4)
 
+    # csr seed-table layout on the real chip (scatter-built offsets +
+    # gather-resolved buckets) must reproduce the pairs path byte-for-byte
+    # BEFORE bigref_w3 commits hours to a 3.2 Gbp csr build
+    csr = Aligner(cfg2, store,
+                  index_layout="csr").align_batch(reads)
+    check("csr:identical", single == csr)
+
     # 5. speculation telemetry: on this straight-line workload the
     # device-predicted chain requests should almost always match the host
     # decode (K=12 chains are pointless otherwise)
