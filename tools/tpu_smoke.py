@@ -69,6 +69,24 @@ def main():
         for b in range(32))
     check("extend:ops", ops_ok)
 
+    # 2b. the safe (while-based) traceback sweep — the per-lane spill
+    # recovery path — must also lower and agree (the fast kernel only
+    # spills on exact gap-lane ties, so a lowering regression here would
+    # otherwise surface mid-bigref, not in any routine run)
+    res2 = kp.batch_align(q, r, ql, rl, se, params, with_trace=True,
+                          all_start_end=True)
+    rec_s, qs_s, rs_s, _sp = kp._tb_call(
+        res2["trace"], ql - 1, rl - 1, 768, False, safe=True)
+    rec_s = np.asarray(rec_s)
+    ops_s, n_ops_s = kp._expand_records(
+        rec_s, 32, min(384 + rec_s.shape[0], 2 * 768))
+    check("safe:n_ops", np.array_equal(np.asarray(ref["n_ops"]), n_ops_s))
+    safe_ops_ok = all(
+        np.array_equal(np.asarray(ref["ops"])[b, :int(ref["n_ops"][b])],
+                       ops_s[b, :int(ref["n_ops"][b])])
+        for b in range(32))
+    check("safe:ops", safe_ops_ok)
+
     # 3. large escalation tile: strip kernel
     q, r, ql, rl = make(8, 1984, 960)
     se = jnp.ones(8, bool)
