@@ -299,6 +299,24 @@ def _sort_pairs(hcat, pcat):
     return jax.lax.sort((hcat, pcat), num_keys=2)
 
 
+def _row_batch_len(k: int, w: int) -> int:
+    """Row length of a streaming-build batch: CHUNK new positions + the
+    (w+1)-base left halo + k-1 tail, rounded to 16.  One home for the
+    geometry shared by _packed_row_batches and its buffer-sizing callers.
+    """
+    CL = CHUNK + (w + 1) + k - 1
+    return ((CL + 15) // 16) * 16
+
+
+def _resume_carry(B: int, resume0, carry_prev):
+    """Anchor carry vector for a row batch: carry_prev applies ONLY to a
+    batch whose row 0 continues the previous batch's sequence (resume0);
+    a row-0 that starts a new sequence resets its anchor to 0 like every
+    other s == 0 row.  Traced inline inside each build step's jit."""
+    return jnp.zeros((B,), jnp.int32).at[0].set(
+        jnp.where(resume0 != 0, carry_prev, 0))
+
+
 def _packed_row_batches(seqs, k: int, w: int):
     """Shared streaming-build work list: yield (CROWS, CL) row batches as
     device arrays — (rows, off, istart, iend, nvalid, first, resume0,
@@ -314,8 +332,7 @@ def _packed_row_batches(seqs, k: int, w: int):
     the exact mod-2^32 position.
     """
     halo = w + 1
-    CL = CHUNK + halo + k - 1
-    CL = ((CL + 15) // 16) * 16
+    CL = _row_batch_len(k, w)
 
     nvalids = []
     work = []
@@ -340,7 +357,6 @@ def _packed_row_batches(seqs, k: int, w: int):
             o = max(s - halo, 0)
             seg_ = codes2[o:o + CL]
             rows_np[i, :len(seg_)] = seg_
-            rows_np[i, len(seg_):] = 0
             off[i] = o
             istart[i] = s
             iend[i] = min(s + CHUNK, nvalids[si])
@@ -353,6 +369,19 @@ def _packed_row_batches(seqs, k: int, w: int):
                jnp.asarray(istart), jnp.asarray(iend), jnp.asarray(nv),
                jnp.asarray(first), jnp.int32(resume0),
                jnp.asarray(goff.view(np.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _chunk_scan_pairs_resume(rows, off, istart, iend, nvalid, first,
+                             resume0, carry_prev, goff, k: int, w: int):
+    """_chunk_scan_pairs with the resume-carry protocol folded into the
+    jit (the anchor carry scalar chains on device; no per-batch sync or
+    eager dispatches)."""
+    B = rows.shape[0]
+    carry_in = _resume_carry(B, resume0, carry_prev)
+    h, p, carry_out, nem = _chunk_scan_pairs(
+        rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
+    return h, p, carry_out[B - 1], nem
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"),
@@ -372,17 +401,13 @@ def _chunk_scan_pairs_accum(rows, off, istart, iend, nvalid, first,
     sorted past the final N and sliced off).
     """
     B = rows.shape[0]
-    # carry_prev applies ONLY to a batch whose row 0 continues the
-    # previous batch's sequence (resume0); a row-0 that starts a new
-    # sequence resets its anchor to 0 like every other s==0 row
-    carry_in = jnp.zeros((B,), jnp.int32).at[0].set(
-        jnp.where(resume0 != 0, carry_prev, 0))
+    carry_in = _resume_carry(B, resume0, carry_prev)
     h, p, carry_out, nem = _chunk_scan_pairs(
         rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
     hs, ps = _sort_pairs(h, p)          # sentinels compact to the tail
     buf_h = jax.lax.dynamic_update_slice(buf_h, hs, (woff,))
     buf_p = jax.lax.dynamic_update_slice(buf_p, ps, (woff,))
-    return buf_h, buf_p, woff + nem, carry_out[B - 1]
+    return buf_h, buf_p, woff + nem, carry_out[B - 1], nem
 
 
 def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int):
@@ -401,23 +426,29 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int):
     with a larger cap; detection is conservative — the final batch's slot
     tail must also fit).
     """
-    halo = w + 1
-    CL = CHUNK + halo + k - 1
-    CL = ((CL + 15) // 16) * 16
-
-    slot_len = CROWS * CL
+    slot_len = CROWS * _row_batch_len(k, w)
     buf_h = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
     buf_p = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
     woff = jnp.int32(0)
     carry_prev = jnp.int32(0)
+    nems = []
 
     for rows, off, istart, iend, nv, first, resume0, goff \
             in _packed_row_batches(seqs, k, w):
-        buf_h, buf_p, woff, carry_prev = _chunk_scan_pairs_accum(
+        buf_h, buf_p, woff, carry_prev, nem = _chunk_scan_pairs_accum(
             rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
             buf_h, buf_p, woff, k, w)
+        nems.append(nem)        # lazy device scalars; no stream sync
 
-    n = int(woff)
+    # total in exact host arithmetic: the device woff is int32 and wraps
+    # at 2^31 emitted seeds, which must be a hard error (a single
+    # int32-indexed pair table cannot hold it), not a wrapped count
+    n = (int(np.asarray(jnp.stack(nems)).astype(np.int64).sum())
+         if nems else 0)
+    if n >= (1 << 31):
+        raise ValueError(
+            f"{n} seeds overflow a single int32-indexed pair table; use "
+            "the hash-sharded index (parallel/shard_index.py)")
     if n > cap:        # dynamic_update_slice clamps: data was overwritten
         return None, None, -n
     sh, sp = _sort_pairs(buf_h, buf_p)
@@ -437,8 +468,7 @@ def _csr_count_accum(rows, off, istart, iend, nvalid, first, resume0,
     emission count so the caller can total seeds in exact host arithmetic
     (the int32 offset cumsum cannot represent >= 2^31)."""
     B = rows.shape[0]
-    carry_in = jnp.zeros((B,), jnp.int32).at[0].set(
-        jnp.where(resume0 != 0, carry_prev, 0))
+    carry_in = _resume_carry(B, resume0, carry_prev)
     h, _p, carry_out, nem = _chunk_scan_pairs(
         rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
     idx = jnp.minimum(h, jnp.uint32(n_buckets)).astype(jnp.int32)
@@ -462,8 +492,7 @@ def _csr_fill_accum(rows, off, istart, iend, nvalid, first, resume0,
     B = rows.shape[0]
     n_buckets = cursor.shape[0]
     n_pos = posbuf.shape[0]
-    carry_in = jnp.zeros((B,), jnp.int32).at[0].set(
-        jnp.where(resume0 != 0, carry_prev, 0))
+    carry_in = _resume_carry(B, resume0, carry_prev)
     h, p, carry_out, _nem = _chunk_scan_pairs(
         rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
     hs, ps = _sort_pairs(h, p)                    # sentinels sort last
@@ -554,17 +583,12 @@ def scan_sorted_pairs_device(seqs, k: int, w: int):
     carry_prev = jnp.int32(0)
     for rows, off, istart, iend, nv, first, resume0, goff \
             in _packed_row_batches(seqs, k, w):
-        # a batch-leading row that continues its sequence resumes the
-        # previous batch's carried anchor; the carry scalar stays on
-        # device (no per-batch sync)
-        carry = jnp.zeros((rows.shape[0],), jnp.int32).at[0].set(
-            jnp.where(resume0 != 0, carry_prev, 0))
-        h, p, carry_out, nem = _chunk_scan_pairs(
-            rows, off, istart, iend, nv, carry, first, goff, k, w)
+        h, p, carry_prev, nem = _chunk_scan_pairs_resume(
+            rows, off, istart, iend, nv, first, resume0, carry_prev,
+            goff, k, w)
         hs.append(h)
         ps.append(p)
         nems.append(nem)
-        carry_prev = carry_out[rows.shape[0] - 1]
 
     if not hs:
         z = jnp.zeros(0, jnp.uint32)
