@@ -36,6 +36,15 @@ def use_pallas() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def _interp() -> bool:
+    """Run the fused dispatch programs' Pallas kernels in interpret mode
+    (DARWIN_TPU_PALLAS_INTERPRET=1) so the TPU-only dispatch path —
+    speculative chains, spill/overflow reruns, result packing — is
+    testable on CPU.  Read at trace time: set it before the first
+    dispatch in a process (the jit caches bake the value in)."""
+    return os.environ.get("DARWIN_TPU_PALLAS_INTERPRET", "") == "1"
+
+
 def use_pallas_for(params) -> bool:
     """Backend selection for a concrete scoring.  Since the Pallas kernels
     gained the generic-scoring closed form (gact_pallas._dp_kernel's
@@ -205,9 +214,9 @@ def _extend_round_pallas(ref_codes, query_codes, req, params_static,
                                 q_start, q_size, rev, qt, rt)
     se = jnp.ones(r_start.shape, bool)
     res = gact_pallas._dp_call(qtile, rtile, q_size, r_size, se,
-                               params_static, True, True, False)
+                               params_static, True, True, _interp())
     rec, qsteps, rsteps, spill = gact_pallas._tb_call(
-        res["trace"], q_size - 1, r_size - 1, max_tb, False, safe=safe)
+        res["trace"], q_size - 1, r_size - 1, max_tb, _interp(), safe=safe)
     Bp = rec.shape[1]
 
     def row(x):
@@ -354,9 +363,9 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
         qtile, rtile = gather_tiles(ref_codes, query_codes, rs, rsz,
                                     qs, qsz, rev, qt, rt)
         res = gact_pallas._dp_call(qtile, rtile, qsz, rsz, se,
-                                   params_static, True, True, False)
+                                   params_static, True, True, _interp())
         rec, qsteps, rsteps, spill = gact_pallas._tb_call(
-            res["trace"], qsz - 1, rsz - 1, max_tb, False, safe=safe)
+            res["trace"], qsz - 1, rsz - 1, max_tb, _interp(), safe=safe)
         return res, rec, qsteps, rsteps, spill
 
     res1, rec1, qsteps1, rsteps1, spill = one_tile(r_start, r_size,
@@ -505,7 +514,7 @@ def _first_tiles_pallas(ref_codes, query_codes, req, params_static, qt, rt):
                                 q_start, q_size, rev, qt, rt)
     res = gact_pallas._dp_call(qtile, rtile, q_size, r_size,
                                jnp.zeros(r_start.shape, bool),
-                               params_static, False, False, False)
+                               params_static, False, False, _interp())
     return jnp.stack([res["score"], res["query_max_pos"],
                       res["ref_max_pos"]]).astype(jnp.int32)
 
