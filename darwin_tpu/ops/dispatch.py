@@ -36,6 +36,17 @@ def use_pallas() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def rec8_enabled() -> bool:
+    """Compact 8-bit traceback records in the fused dispatch results (two
+    per int16 entry; DARWIN_TPU_REC8=0 disables, for A/B timing).  This
+    halves the dominant device->host fetch of the extension loop; a lane
+    whose traceback holds an insert run > 63 is flagged in the result and
+    rerun through the wide layout, so the output is unconditionally
+    lossless.  Read per dispatch (not baked into the jit caches — `wide`
+    is a static argument)."""
+    return os.environ.get("DARWIN_TPU_REC8", "1") != "0"
+
+
 def _interp() -> bool:
     """Run the fused dispatch programs' Pallas kernels in interpret mode
     (DARWIN_TPU_PALLAS_INTERPRET=1) so the TPU-only dispatch path —
@@ -199,13 +210,16 @@ def _pack_requests(r_start, r_size, q_start, q_size, rev=None):
 
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
-                                             "params_static", "safe"))
+                                             "params_static", "safe",
+                                             "wide"))
 def _extend_round_pallas(ref_codes, query_codes, req, params_static,
-                         qt, rt, max_tb, safe=False):
+                         qt, rt, max_tb, safe=False, wide=True):
     """One fused device program per extension round: tile gather + Pallas
-    DP + sweep traceback + result packing.  Returns (RTpad + 6, Bpad) int32:
-    rows [0, RTpad) the traceback records, then q_steps, r_steps, score,
-    qpos, rpos, spill."""
+    DP + sweep traceback + result packing.  Returns (R + 6, Bpad) int16:
+    rows [0, R) the traceback records — one per row when ``wide``, two
+    8-bit records per entry otherwise (gact_pallas._compact_records) —
+    then q_steps, r_steps, score, qpos, rpos, and a flag row (sweep spill
+    | compact-record overflow; flagged lanes rerun wide+safe)."""
     from darwin_tpu.ops import gact_pallas
     r_start, r_size = req[0], req[1].astype(jnp.int32)
     q_start, q_size = req[2], req[3].astype(jnp.int32)
@@ -218,13 +232,17 @@ def _extend_round_pallas(ref_codes, query_codes, req, params_static,
     rec, qsteps, rsteps, spill = gact_pallas._tb_call(
         res["trace"], q_size - 1, r_size - 1, max_tb, _interp(), safe=safe)
     Bp = rec.shape[1]
+    if not wide:
+        rec, ovf = gact_pallas._compact_records(rec)
+        spill = spill | ovf
 
     def row(x):
         return jnp.pad(x.astype(jnp.int32), (0, Bp - x.shape[0]))[None, :]
 
     # int16 halves the per-round device->host transfer; every row fits
-    # (records are 14+2 bits, steps <= 2*max_tb <= 2*1984, |score| and
-    # positions < 2*tile for any supported tile geometry)
+    # (records are 14+2 bits — or an 8-bit pair when compact — steps
+    # <= 2*max_tb <= 2*1984, |score| and positions < 2*tile for any
+    # supported tile geometry)
     return jnp.concatenate(
         [rec, qsteps[None, :], rsteps[None, :], row(res["score"]),
          row(res["query_max_pos"]), row(res["ref_max_pos"]),
@@ -332,9 +350,10 @@ def _pack_spec_requests(r_start, r_size, q_start, q_size, rev, chrom_start,
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
                                              "params_static", "stop_thr",
-                                             "K", "safe"))
+                                             "K", "safe", "wide"))
 def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
-                              qt, rt, max_tb, stop_thr, K, safe=False):
+                              qt, rt, max_tb, stop_thr, K, safe=False,
+                              wide=True):
     """K chained extension tiles per dispatch.  Tile 1 is exact; each
     subsequent tile's request is predicted from the previous tile's
     cutoff advance (dr, dq) and computed speculatively in the same
@@ -344,8 +363,12 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
     while the reconstructed request equals the true one after tile j's
     exact decode.
 
-    Rows: [rec_1..rec_K (K*RTp) | q_steps1 r_steps1 score1 qpos1 rpos1 |
-           (d_rstart d_rsize d_qstart d_qsize) * (K-1) | spill]
+    Rows: [rec_1..rec_K (K*R) | q_steps1 r_steps1 score1 qpos1 rpos1 |
+           (d_rstart d_rsize d_qstart d_qsize) * (K-1) | flag]
+    with R = RTp when ``wide`` (one int16 record per row) and ceil(RTp/2)
+    otherwise (two 8-bit records per entry); flag = sweep spill |
+    compact-record overflow, either of which sends the lane through the
+    wide+safe rerun.
     """
     from darwin_tpu.ops import gact_pallas
     r_start, r_size = req[0], req[1].astype(jnp.int32)
@@ -418,10 +441,18 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
             row(qsz2)]
         prev = (rs2, rsz2, qs2, qsz2, rec2)
 
+    flag = spill
+    if not wide:
+        compacted = []
+        for r in recs:
+            cr, ovf = gact_pallas._compact_records(r)
+            compacted.append(cr)
+            flag = flag | ovf
+        recs = compacted
     return jnp.concatenate(
         recs + [qsteps1[None, :], rsteps1[None, :], row(res1["score"]),
                 row(res1["query_max_pos"]), row(res1["ref_max_pos"])]
-        + delta_rows + [spill[None, :]], axis=0).astype(jnp.int16)
+        + delta_rows + [flag[None, :]], axis=0).astype(jnp.int16)
 
 
 def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
@@ -440,52 +471,72 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
     K = SPEC_K
     check_int16_packing(params, qt, rt, max_tb)
     from darwin_tpu.ops import gact_pallas
+    wide = not rec8_enabled()
     req, r_start64, q_start64 = _pack_spec_requests(
         r_start, r_size, q_start, q_size, rev, chrom_start, chrom_len,
         q_buf_start, q_len)
     packed_dev = _extend_round_spec_pallas(
         ref_codes, query_codes, req, gact_pallas._static_params(params),
-        qt, rt, max_tb, stop_thr, K)
+        qt, rt, max_tb, stop_thr, K, wide=wide)
 
-    def rerun_safe(idx):
-        # per-lane recovery: only the spilled lanes rerun with the safe
-        # sweep; returns (packed, source column per idx entry)
+    def rerun_wide(idx):
+        # per-lane recovery: only the flagged lanes (sweep spill or
+        # compact-record overflow) rerun — safe sweep, wide records;
+        # returns (packed, source column per idx entry)
         sub = _extend_round_spec_pallas(
             ref_codes, query_codes, _subset_requests(req, idx),
             gact_pallas._static_params(params), qt, rt, max_tb,
-            stop_thr, K, safe=True)
+            stop_thr, K, safe=True, wide=True)
         return sub, np.arange(len(idx))
 
-    return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt, max_tb,
-                               r_start64, q_start64)
+    return _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
+                               r_start64, q_start64, wide)
 
 
-def _make_spec_resolver(packed_dev, rerun_safe, B, K, qt, max_tb,
-                        r_start64, q_start64):
+def _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
+                        r_start64, q_start64, wide):
     """Shared resolve() for the speculative packed result (single-device
-    and mesh paths).  ``rerun_safe(idx)`` -> (packed_subset, cols): the
-    safe-sweep results for spilled lanes ``idx``, found at columns
-    ``cols`` of the returned matrix."""
+    and mesh paths).  ``rerun_wide(idx)`` -> (packed_subset, cols): the
+    safe-sweep wide-record results for flagged lanes ``idx``, found at
+    columns ``cols`` of the returned matrix.  ``wide`` describes the
+    primary matrix's record layout (the rerun is always wide)."""
     from darwin_tpu.ops import gact_pallas
 
     def resolve():
         packed = np.asarray(packed_dev)
-        spilled = np.flatnonzero(packed[-1][:B] != 0)
-        if spilled.size:  # fast-sweep spill: safe rerun of those lanes
-            sub, cols = rerun_safe(spilled)
-            packed = np.array(packed)
-            packed[:, spilled] = np.asarray(sub)[:, cols]
         nrows = packed.shape[0]
-        RTp = (nrows - 6 - 4 * (K - 1)) // K
-        L = min(qt + RTp, 2 * max_tb)
-        ops1, n1 = gact_pallas._expand_records(packed[:RTp], B, L)
-        tail = packed[K * RTp:]
+        tailr = 6 + 4 * (K - 1)
+        R = (nrows - tailr) // K
+        # compact rows may carry one padded zero record (expands to no
+        # ops), so 2*R bounds the wide record count from above
+        L = min(qt + (R if wide else 2 * R), 2 * max_tb)
+        expand = (gact_pallas._expand_records if wide
+                  else gact_pallas._expand_records8)
+        flagged = np.flatnonzero(packed[-1][:B] != 0)
+        sub = cols = Rw = None
+        tail = packed[K * R:]
+        if flagged.size:  # sweep spill / record overflow: lossless rerun
+            sub_dev, cols = rerun_wide(flagged)
+            sub = np.asarray(sub_dev)
+            Rw = (sub.shape[0] - tailr) // K
+            tail = np.array(tail)
+            tail[:, flagged] = sub[K * Rw:][:, cols]
+
+        def level(j):
+            o, n = expand(packed[j * R:(j + 1) * R], B, L)
+            if sub is not None:
+                nv = int(cols.max()) + 1
+                ow, nw = gact_pallas._expand_records(
+                    sub[j * Rw:(j + 1) * Rw], nv, L)
+                o[flagged], n[flagged] = ow[cols], nw[cols]
+            return o, n
+
+        ops1, n1 = level(0)
         u = lambda r: r.astype(np.int64) & 0xFFFF  # unsigned row view
         ops_spec, n_spec, spec_req = [], [], []
         prev_rs, prev_qs = r_start64, q_start64
         for j in range(1, K):
-            o, n = gact_pallas._expand_records(
-                packed[j * RTp:(j + 1) * RTp], B, L)
+            o, n = level(j)
             ops_spec.append(o)
             n_spec.append(n)
             d = tail[5 + 4 * (j - 1):5 + 4 * j]
@@ -568,24 +619,34 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
     if use_pallas_for(params):
         from darwin_tpu.ops import gact_pallas
         check_int16_packing(params, qt, rt, max_tb)
+        wide = not rec8_enabled()
         req = _pack_requests(r_start, r_size, q_start, q_size, rev)
         packed_dev = _extend_round_pallas(
             ref_codes, query_codes, req,
-            gact_pallas._static_params(params), qt, rt, max_tb)
+            gact_pallas._static_params(params), qt, rt, max_tb, wide=wide)
 
         def resolve():
             packed = np.asarray(packed_dev)
-            spilled = np.flatnonzero(packed[-1][:B] != 0)
-            if spilled.size:  # fast-sweep spill: safe rerun, spilled lanes
+            R = packed.shape[0] - 6
+            L = min(qt + (R if wide else 2 * R), 2 * max_tb)
+            expand = (gact_pallas._expand_records if wide
+                      else gact_pallas._expand_records8)
+            ops, n_ops = expand(packed[:R], B, L)
+            tail = packed[R:]
+            flagged = np.flatnonzero(packed[-1][:B] != 0)
+            if flagged.size:
+                # fast-sweep spill or compact-record overflow: those
+                # lanes rerun safe + wide (lossless either way)
                 sub = np.asarray(_extend_round_pallas(
-                    ref_codes, query_codes, _subset_requests(req, spilled),
+                    ref_codes, query_codes, _subset_requests(req, flagged),
                     gact_pallas._static_params(params), qt, rt, max_tb,
-                    safe=True))
-                packed = np.array(packed)
-                packed[:, spilled] = sub[:, :spilled.size]
-            rec, tail = packed[:-6], packed[-6:]
-            L = min(qt + rec.shape[0], 2 * max_tb)
-            ops, n_ops = gact_pallas._expand_records(rec, B, L)
+                    safe=True, wide=True))
+                Rw = sub.shape[0] - 6
+                ow, nw = gact_pallas._expand_records(
+                    sub[:Rw], flagged.size, L)
+                ops[flagged], n_ops[flagged] = ow, nw
+                tail = np.array(tail)
+                tail[:, flagged] = sub[Rw:][:, :flagged.size]
             return {"ops": ops, "n_ops": n_ops,
                     "q_steps": tail[0][:B], "r_steps": tail[1][:B],
                     "score": tail[2][:B], "query_max_pos": tail[3][:B],

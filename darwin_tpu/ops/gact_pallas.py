@@ -890,16 +890,49 @@ def _tb_call(trace, start_q, start_r, max_tb, interpret, safe=False):
     return rec, qsteps[0], rsteps[0], spill[0]
 
 
+def _compact_records(rec):
+    """Pack (RT, B) int32 traceback records (14-bit nI | closing << 14)
+    two per entry as 8-bit records (6-bit nI | closing << 6), halving the
+    device->host result bytes in the fused dispatch programs.  Returns
+    ((ceil(RT/2), B) int32 holding the row pair in bits 0..15, (B,) int32
+    overflow flags: nonzero when any of the lane's insert runs exceeds 63
+    — the dispatcher reruns those lanes through the wide layout, so the
+    compaction is lossless end to end."""
+    nI = rec & 0x3FFF
+    cl = (rec >> 14) & 0x3
+    ovf = jnp.any(nI > 63, axis=0).astype(jnp.int32)
+    r8 = jnp.minimum(nI, 63) | (cl << 6)
+    if r8.shape[0] % 2:
+        # a padded all-zero record expands to zero ops — harmless
+        r8 = jnp.pad(r8, ((0, 1), (0, 0)))
+    return r8[0::2] | (r8[1::2] << 8), ovf
+
+
 def _expand_records(rec: np.ndarray, n_valid: int, L: int):
     """Expand per-column (nI, closing) records into the serial walker's op
     arrays — vectorized np.repeat, no per-op Python loop.
 
     rec: (RT, B) int32.  Returns ops (n_valid, L) uint8 + n_ops (n_valid,).
     """
-    RT, B = rec.shape
-    w = rec[:, :n_valid].astype(np.int64) & 0xFFFF        # (RT, n_valid)
-    nI = w & 0x3FFF
-    closing = (w >> 14) & 0x3
+    w = np.asarray(rec)[:, :n_valid].astype(np.int64) & 0xFFFF
+    return _expand_ops(w & 0x3FFF, (w >> 14) & 0x3, L)
+
+
+def _expand_records8(crec: np.ndarray, n_valid: int, L: int):
+    """_expand_records for the compact two-per-entry layout produced by
+    _compact_records."""
+    w = np.asarray(crec)[:, :n_valid].astype(np.int64) & 0xFFFF
+    R2, n = w.shape
+    r = np.empty((2 * R2, n), np.int64)
+    r[0::2] = w & 0xFF
+    r[1::2] = w >> 8
+    return _expand_ops(r & 0x3F, (r >> 6) & 0x3, L)
+
+
+def _expand_ops(nI: np.ndarray, closing: np.ndarray, L: int):
+    """Shared record-expansion core: (RT, n) insert-run lengths + closing
+    ops -> (n, L) uint8 op arrays + true op counts."""
+    RT, n_valid = nI.shape
     # walk order per lane: columns start_r, start_r-1, ..., 0 -> reorder
     # rows by descending column index.  Columns above start_r and columns
     # after the walk terminated hold all-zero records (the kernel only

@@ -81,7 +81,8 @@ def sharded_extend_tiles(mesh: Mesh, ref_codes, query_codes, r_start, r_size,
 
 @functools.cache
 def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
-                        axis: str = "data", safe: bool = False):
+                        axis: str = "data", safe: bool = False,
+                        wide: bool = True):
     """shard_map'd Pallas extend-tile step: each device gathers and aligns
     its local slice of the tile batch with the Pallas kernel (Pallas calls
     don't partition automatically under pjit the way lax.scan does, so the
@@ -95,16 +96,20 @@ def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
     spec_rep = P_()
 
     def step(refc, qc, r_start, r_size, q_start, q_size, rev):
+        from darwin_tpu.ops.dispatch import _interp
         qtile, rtile = gather_tiles(refc, qc, r_start, r_size, q_start,
                                     q_size, rev, qt, rt)
         res = gact_pallas._dp_call(
             qtile, rtile, q_size.astype(jnp.int32), r_size.astype(jnp.int32),
             jnp.ones(r_start.shape, bool), params_static,
-            True, True, False)
+            True, True, _interp())
         rec, qsteps, rsteps, spill = gact_pallas._tb_call(
             res.pop("trace"), q_size.astype(jnp.int32) - 1,
-            r_size.astype(jnp.int32) - 1, max_tb, False, safe=safe)
-        return res | {"rec": rec, "q_steps_all": qsteps,
+            r_size.astype(jnp.int32) - 1, max_tb, _interp(), safe=safe)
+        if not wide:
+            rec, ovf = gact_pallas._compact_records(rec)
+            spill = spill | ovf
+        return res | {"rec": rec.astype(jnp.int16), "q_steps_all": qsteps,
                       "r_steps_all": rsteps, "spill": spill}
 
     out_specs = {"score": spec_b, "query_max_pos": spec_b,
@@ -138,7 +143,8 @@ def _pallas_first_tiles_step(mesh: Mesh, params_static, qt, rt,
 
 @functools.cache
 def _pallas_spec_step(mesh: Mesh, params_static, qt, rt, max_tb, stop_thr,
-                      K, axis: str = "data", safe: bool = False):
+                      K, axis: str = "data", safe: bool = False,
+                      wide: bool = True):
     """shard_map'd speculative K-tile extension round: each device runs
     the full chained-tile program on its local slice of the request batch
     — per-device speculation needs no communication, so the mesh path
@@ -151,7 +157,7 @@ def _pallas_spec_step(mesh: Mesh, params_static, qt, rt, max_tb, stop_thr,
     def step(refc, qc, req):
         return _extend_round_spec_pallas(refc, qc, req, params_static,
                                          qt, rt, max_tb, stop_thr, K,
-                                         safe=safe)
+                                         safe=safe, wide=wide)
 
     return jax.jit(shard_map(
         step, mesh=mesh, in_specs=(P(), P(), spec_cols),
@@ -192,26 +198,36 @@ class MeshDispatcher:
             r_start, r_size, q_start, q_size, rev)
         if use_pallas_for(params):
             from darwin_tpu.ops import gact_pallas
+            from darwin_tpu.ops.dispatch import rec8_enabled
             ps = gact_pallas._static_params(params)
-            step = _pallas_extend_step(self.mesh, ps, qt, rt, max_tb)
+            wide = not rec8_enabled()
+            step = _pallas_extend_step(self.mesh, ps, qt, rt, max_tb,
+                                       wide=wide)
             out0 = step(ref_codes, query_codes, r_start, r_size, q_start,
                         q_size, rev)
 
             def resolve():
-                out = out0
+                out, wide_used = out0, wide
                 if bool(np.any(np.asarray(out["spill"]))):
+                    # sweep spill or compact-record overflow: mesh lanes
+                    # are device-sharded, so the whole (sharded) batch
+                    # reruns safe + wide (lossless either way)
                     safe = _pallas_extend_step(self.mesh, ps, qt, rt,
-                                               max_tb, safe=True)
+                                               max_tb, safe=True,
+                                               wide=True)
                     out = safe(ref_codes, query_codes, r_start, r_size,
                                q_start, q_size, rev)
+                    wide_used = True
                 out = dict(out)
                 out.pop("spill")
-                rec = out.pop("rec")
+                rec = np.asarray(out.pop("rec"))
                 qsteps = out.pop("q_steps_all")
                 rsteps = out.pop("r_steps_all")
-                L = min(qt + rec.shape[0], 2 * max_tb)
-                ops, n_ops = gact_pallas._expand_records(np.asarray(rec),
-                                                         B, L)
+                L = min(qt + (rec.shape[0] if wide_used
+                              else 2 * rec.shape[0]), 2 * max_tb)
+                expand = (gact_pallas._expand_records if wide_used
+                          else gact_pallas._expand_records8)
+                ops, n_ops = expand(rec, B, L)
                 return out | {"ops": ops, "n_ops": n_ops,
                               "q_steps": np.asarray(qsteps)[:B],
                               "r_steps": np.asarray(rsteps)[:B]}
@@ -236,29 +252,33 @@ class MeshDispatcher:
         from darwin_tpu.ops import gact_pallas
         from darwin_tpu.ops.dispatch import (SPEC_K, _make_spec_resolver,
                                              _pack_spec_requests,
-                                             check_int16_packing)
+                                             check_int16_packing,
+                                             rec8_enabled)
         check_int16_packing(params, qt, rt, max_tb)
         B = int(np.asarray(r_start).shape[0])
         K = SPEC_K
+        wide = not rec8_enabled()
         req_np, r_start64, q_start64 = _pack_spec_requests(
             r_start, r_size, q_start, q_size, rev, chrom_start, chrom_len,
             q_buf_start, q_len)
         req = jax.device_put(req_np,
                              NamedSharding(self.mesh, P(None, "data")))
         ps = gact_pallas._static_params(params)
-        step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb, stop_thr, K)
+        step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb, stop_thr,
+                                 K, wide=wide)
         packed_dev = step(ref_codes, query_codes, req)
 
-        def rerun_safe(idx):
-            # mesh lanes are device-sharded, so the safe rerun keeps the
-            # whole (sharded) batch and the resolver picks columns idx out
-            # of the full-width result
+        def rerun_wide(idx):
+            # mesh lanes are device-sharded, so the rerun (safe sweep +
+            # wide records) keeps the whole (sharded) batch and the
+            # resolver picks columns idx out of the full-width result
             safe_step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb,
-                                          stop_thr, K, safe=True)
+                                          stop_thr, K, safe=True,
+                                          wide=True)
             return safe_step(ref_codes, query_codes, req), np.asarray(idx)
 
-        return _make_spec_resolver(packed_dev, rerun_safe, B, K, qt,
-                                   max_tb, r_start64, q_start64)
+        return _make_spec_resolver(packed_dev, rerun_wide, B, K, qt,
+                                   max_tb, r_start64, q_start64, wide)
 
     def first_tile_scores(self, ref_codes, query_codes, r_start, r_size,
                           q_start, q_size, params, *, qt, rt):

@@ -90,6 +90,143 @@ def _align(ref_path, reads, backend, monkeypatch):
     return lines, cnt
 
 
+def _overflow_case(rng):
+    """A tile whose optimal traceback holds an 80-long insert run — one
+    record with nI > 63, which the compact 8-bit layout cannot represent
+    and must flag for the wide rerun."""
+    from darwin_tpu.ops import gact
+    from darwin_tpu.config import Config
+    import jax.numpy as jnp
+
+    ref = rng.integers(0, 4, size=192).astype(np.uint8)
+    query = np.concatenate([ref[:60],
+                            rng.integers(0, 4, size=80).astype(np.uint8),
+                            ref[60:160]])
+    B = 128
+    r_start = np.zeros(B, np.int64)
+    r_size = np.ones(B, np.int32)
+    q_start = np.zeros(B, np.int64)
+    q_size = np.ones(B, np.int32)
+    rev = np.zeros(B, bool)
+    r_size[0] = 160
+    q_size[0] = query.size
+    params = gact.make_params(Config())
+    return (jnp.asarray(ref), jnp.asarray(query), r_start, r_size,
+            q_start, q_size, rev, params)
+
+
+def _res_equal(a, b):
+    assert a.keys() == b.keys()
+    for k in a:
+        if k == "spec_req":
+            for j, (x, y) in enumerate(zip(a[k], b[k])):
+                for xx, yy in zip(x, y):
+                    assert np.array_equal(np.asarray(xx),
+                                          np.asarray(yy)), (k, j)
+        elif k in ("ops_spec", "n_ops_spec"):
+            assert len(a[k]) == len(b[k]), k
+            for j, (x, y) in enumerate(zip(a[k], b[k])):
+                assert np.array_equal(np.asarray(x), np.asarray(y)), (k, j)
+        else:
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
+def test_rec8_overflow_rerun(rng, monkeypatch):
+    """Compact-record overflow (insert run > 63) must be detected and
+    rerun losslessly through the wide layout."""
+    monkeypatch.setenv("DARWIN_TPU_KERNEL", "pallas")
+    dispatch.use_pallas.cache_clear()
+    from darwin_tpu.ops.oracle import OP_I
+
+    refc, qc, r_start, r_size, q_start, q_size, rev, params = \
+        _overflow_case(rng)
+    reruns = []
+    orig = dispatch._subset_requests
+    monkeypatch.setattr(dispatch, "_subset_requests",
+                        lambda req, idx: reruns.append(len(idx))
+                        or orig(req, idx))
+
+    def run():
+        return dispatch.extend_tiles_async(
+            refc, qc, r_start, r_size, q_start, q_size, rev, params,
+            qt=256, rt=256, max_tb=512)()
+
+    monkeypatch.setenv("DARWIN_TPU_REC8", "0")
+    wide = run()
+    assert reruns == []                    # wide layout never overflows
+    monkeypatch.setenv("DARWIN_TPU_REC8", "1")
+    compact = run()
+    assert reruns == [1]                   # exactly the one flagged lane
+    _res_equal(wide, compact)
+    # the case is real: the traceback holds an I-run longer than 63
+    n = int(wide["n_ops"][0])
+    ops = np.asarray(wide["ops"])[0, :n]
+    is_i = np.concatenate(([0], (ops == OP_I).astype(int), [0]))
+    d = np.diff(is_i)
+    longest_i = int((np.flatnonzero(d == -1)
+                     - np.flatnonzero(d == 1)).max())
+    assert longest_i > 63
+
+
+def test_rec8_overflow_spec_chain(rng, monkeypatch):
+    """The speculative resolver's per-level patching of flagged lanes:
+    compact + overflow must equal the wide layout on every level, the
+    tile-1 stats, and the reconstructed speculative requests."""
+    monkeypatch.setenv("DARWIN_TPU_KERNEL", "pallas")
+    dispatch.use_pallas.cache_clear()
+
+    refc, qc, r_start, r_size, q_start, q_size, rev, params = \
+        _overflow_case(rng)
+    chrom_start = np.zeros(128, np.int64)
+    chrom_len = np.full(128, 192, np.int64)
+    q_buf_start = np.zeros(128, np.int64)
+    q_len = np.asarray(q_size, np.int64)
+
+    def run():
+        return dispatch.extend_tiles_spec_async(
+            refc, qc, r_start, r_size, q_start, q_size, rev, chrom_start,
+            chrom_len, q_buf_start, q_len, params,
+            qt=256, rt=256, max_tb=512, stop_thr=192)()
+
+    monkeypatch.setenv("DARWIN_TPU_REC8", "0")
+    wide = run()
+    monkeypatch.setenv("DARWIN_TPU_REC8", "1")
+    compact = run()
+    _res_equal(wide, compact)
+
+
+def test_mesh_pallas_dispatch_identity(rng, monkeypatch):
+    """The shard_map'd fused dispatch path (per-device speculative chains,
+    compact records, whole-batch wide reruns) against the single-device
+    lax pipeline, on a 2-device virtual mesh in interpret mode."""
+    from darwin_tpu.genome import GenomeStore
+    from darwin_tpu.parallel.shard import make_mesh
+    from darwin_tpu.utils.simulate import simulate_reads
+
+    store = GenomeStore()
+    store.add_chromosome(
+        "chrA", rng.choice(list(b"ACGT"), size=12000).astype(np.uint8))
+    store.finalize()
+    cfg = _small_cfg()
+    cfg.seed_size = 10
+    cfg.dsoft_threshold = 20
+    sim = simulate_reads(store, 3, 800, seed=7)
+    reads = [make_read(n, s) for n, s, _ in sim]
+
+    monkeypatch.setenv("DARWIN_TPU_KERNEL", "lax")
+    dispatch.use_pallas.cache_clear()
+    single = Aligner(cfg, store).align_batch(reads)
+
+    monkeypatch.setenv("DARWIN_TPU_KERNEL", "pallas")
+    dispatch.use_pallas.cache_clear()
+    cnt = new_counters()
+    meshed = Aligner(cfg, store, mesh=make_mesh(2)).align_batch(reads, cnt)
+
+    assert meshed == single
+    assert len(single) >= 2
+    assert cnt["num_spec_hits"] + cnt["num_spec_misses"] > 0
+
+
 def test_spec_dispatch_byte_identity(tiny_workload, monkeypatch):
     ref_path, reads = tiny_workload
     lax_lines, lax_cnt = _align(ref_path, reads, "lax", monkeypatch)

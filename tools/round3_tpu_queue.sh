@@ -11,7 +11,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 LOG=/tmp/r3_queue.log
 steps=("$@")
-[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic scatter bigref01 bigref denovo bigref_w3)
+[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic scatter rec8ab bigref01 bigref denovo bigref_w3)
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -39,6 +39,11 @@ for s in "${steps[@]}"; do
       # csr-build op throughput (scatter-add/set, big cumsum): tells us
       # early whether bigref_w3's build will be bound by a slow scatter
       run scatter 1800 python "$REPO/tools/scatter_probe.py" ;;
+    rec8ab)
+      # compact vs wide traceback records: the e2e effect of halving the
+      # extension loop's result fetch (the steady-state tunnel bound)
+      run rec8_on  3600 env DARWIN_TPU_REC8=1 python "$REPO/tools/bench_e2e.py"
+      run rec8_off 3600 env DARWIN_TPU_REC8=0 python "$REPO/tools/bench_e2e.py" ;;
     bigref01)
       # small-genome reference point on the same hardware: per-base build
       # rate + per-read stage profile to compare the 3.2 Gbp run against
