@@ -581,9 +581,10 @@ def first_tile_scores(ref_codes, query_codes, r_start, r_size, q_start,
             ref_codes, query_codes, req,
             gact_pallas._static_params(params), qt, rt)
         # device arrays — the caller's np.asarray is the (deferred) fetch,
-        # so both strands' dispatches overlap
+        # so both strands' dispatches overlap; "packed" lets the caller
+        # pull all three rows in ONE device->host transfer
         return {"score": packed[0], "query_max_pos": packed[1],
-                "ref_max_pos": packed[2]}
+                "ref_max_pos": packed[2], "packed": packed}
     B = r_start.shape[0]
     rev = jnp.zeros((B,), bool)
     qtile, rtile = gather_tiles(ref_codes, query_codes,

@@ -301,7 +301,7 @@ class MeshDispatcher:
                 self.mesh, gact_pallas._static_params(params), qt, rt)
             packed = step(ref_codes, query_codes, req)
             return {"score": packed[0], "query_max_pos": packed[1],
-                    "ref_max_pos": packed[2]}
+                    "ref_max_pos": packed[2], "packed": packed}
         (r_start, r_size, q_start, q_size) = self._shard(
             np.asarray(r_start, np.uint64).astype(np.uint32),
             np.asarray(r_size, np.int32),

@@ -145,9 +145,15 @@ class Aligner:
         batch, n, res = dispatched
         if n == 0:
             return []
-        scores = np.asarray(res["score"])[:n]
-        rmax = np.asarray(res["ref_max_pos"])[:n]
-        qmax = np.asarray(res["query_max_pos"])[:n]
+        if "packed" in res:
+            # one transfer for all three result rows (the separate keys
+            # are slices of this same device array)
+            ph = np.asarray(res["packed"])
+            scores, qmax, rmax = ph[0][:n], ph[1][:n], ph[2][:n]
+        else:
+            scores = np.asarray(res["score"])[:n]
+            rmax = np.asarray(res["ref_max_pos"])[:n]
+            qmax = np.asarray(res["query_max_pos"])[:n]
         counters["num_extend_requests"] += int(
             (scores >= cfg.first_tile_score_threshold).sum())
         locs = flt.collect_locations(batch, scores, rmax, qmax,
