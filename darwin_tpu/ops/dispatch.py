@@ -36,15 +36,23 @@ def use_pallas() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def rec8_enabled() -> bool:
-    """Compact 8-bit traceback records in the fused dispatch results (two
-    per int16 entry; DARWIN_TPU_REC8=0 disables, for A/B timing).  This
-    halves the dominant device->host fetch of the extension loop; a lane
-    whose traceback holds an insert run > 63 is flagged in the result and
-    rerun through the wide layout, so the output is unconditionally
-    lossless.  Read per dispatch (not baked into the jit caches — `wide`
-    is a static argument)."""
-    return os.environ.get("DARWIN_TPU_REC8", "1") != "0"
+def rec_bits() -> int:
+    """Traceback-record packing width in the fused dispatch results:
+    16 = one int16 record per entry (wide), 8 (default) or 4 = 16//bits
+    records per entry (gact_pallas._compact_records).  Narrower packing
+    cuts the dominant device->host fetch of the extension loop 2x/4x; a
+    lane whose traceback holds an insert run wider than the nI field
+    (> 63 at 8 bits, > 3 at 4) is flagged in the result and rerun through
+    the wide layout, so the output is unconditionally lossless at any
+    width.  DARWIN_TPU_RECBITS selects (DARWIN_TPU_REC8=0 forces 16,
+    kept as the A/B alias).  Read per dispatch — the width is a static
+    jit argument, not baked into a cache."""
+    if os.environ.get("DARWIN_TPU_REC8", "") == "0":
+        return 16
+    bits = int(os.environ.get("DARWIN_TPU_RECBITS", "8"))
+    if bits not in (4, 8, 16):
+        raise ValueError(f"DARWIN_TPU_RECBITS must be 4, 8 or 16: {bits}")
+    return bits
 
 
 def _interp() -> bool:
@@ -211,15 +219,15 @@ def _pack_requests(r_start, r_size, q_start, q_size, rev=None):
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
                                              "params_static", "safe",
-                                             "wide"))
+                                             "bits"))
 def _extend_round_pallas(ref_codes, query_codes, req, params_static,
-                         qt, rt, max_tb, safe=False, wide=True):
+                         qt, rt, max_tb, safe=False, bits=16):
     """One fused device program per extension round: tile gather + Pallas
     DP + sweep traceback + result packing.  Returns (R + 6, Bpad) int16:
-    rows [0, R) the traceback records — one per row when ``wide``, two
-    8-bit records per entry otherwise (gact_pallas._compact_records) —
-    then q_steps, r_steps, score, qpos, rpos, and a flag row (sweep spill
-    | compact-record overflow; flagged lanes rerun wide+safe)."""
+    rows [0, R) the traceback records — one per row at bits=16, 16//bits
+    per entry otherwise (gact_pallas._compact_records) — then q_steps,
+    r_steps, score, qpos, rpos, and a flag row (sweep spill |
+    compact-record overflow; flagged lanes rerun wide+safe)."""
     from darwin_tpu.ops import gact_pallas
     r_start, r_size = req[0], req[1].astype(jnp.int32)
     q_start, q_size = req[2], req[3].astype(jnp.int32)
@@ -232,8 +240,8 @@ def _extend_round_pallas(ref_codes, query_codes, req, params_static,
     rec, qsteps, rsteps, spill = gact_pallas._tb_call(
         res["trace"], q_size - 1, r_size - 1, max_tb, _interp(), safe=safe)
     Bp = rec.shape[1]
-    if not wide:
-        rec, ovf = gact_pallas._compact_records(rec)
+    if bits != 16:
+        rec, ovf = gact_pallas._compact_records(rec, bits)
         spill = spill | ovf
 
     def row(x):
@@ -350,10 +358,10 @@ def _pack_spec_requests(r_start, r_size, q_start, q_size, rev, chrom_start,
 
 @functools.partial(jax.jit, static_argnames=("qt", "rt", "max_tb",
                                              "params_static", "stop_thr",
-                                             "K", "safe", "wide"))
+                                             "K", "safe", "bits"))
 def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
                               qt, rt, max_tb, stop_thr, K, safe=False,
-                              wide=True):
+                              bits=16):
     """K chained extension tiles per dispatch.  Tile 1 is exact; each
     subsequent tile's request is predicted from the previous tile's
     cutoff advance (dr, dq) and computed speculatively in the same
@@ -365,8 +373,8 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
 
     Rows: [rec_1..rec_K (K*R) | q_steps1 r_steps1 score1 qpos1 rpos1 |
            (d_rstart d_rsize d_qstart d_qsize) * (K-1) | flag]
-    with R = RTp when ``wide`` (one int16 record per row) and ceil(RTp/2)
-    otherwise (two 8-bit records per entry); flag = sweep spill |
+    with R = RTp at bits=16 (one int16 record per row) and
+    ceil(RTp/(16//bits)) otherwise (packed records); flag = sweep spill |
     compact-record overflow, either of which sends the lane through the
     wide+safe rerun.
     """
@@ -442,10 +450,10 @@ def _extend_round_spec_pallas(ref_codes, query_codes, req, params_static,
         prev = (rs2, rsz2, qs2, qsz2, rec2)
 
     flag = spill
-    if not wide:
+    if bits != 16:
         compacted = []
         for r in recs:
-            cr, ovf = gact_pallas._compact_records(r)
+            cr, ovf = gact_pallas._compact_records(r, bits)
             compacted.append(cr)
             flag = flag | ovf
         recs = compacted
@@ -471,13 +479,13 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
     K = SPEC_K
     check_int16_packing(params, qt, rt, max_tb)
     from darwin_tpu.ops import gact_pallas
-    wide = not rec8_enabled()
+    bits = rec_bits()
     req, r_start64, q_start64 = _pack_spec_requests(
         r_start, r_size, q_start, q_size, rev, chrom_start, chrom_len,
         q_buf_start, q_len)
     packed_dev = _extend_round_spec_pallas(
         ref_codes, query_codes, req, gact_pallas._static_params(params),
-        qt, rt, max_tb, stop_thr, K, wide=wide)
+        qt, rt, max_tb, stop_thr, K, bits=bits)
 
     def rerun_wide(idx):
         # per-lane recovery: only the flagged lanes (sweep spill or
@@ -486,19 +494,19 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
         sub = _extend_round_spec_pallas(
             ref_codes, query_codes, _subset_requests(req, idx),
             gact_pallas._static_params(params), qt, rt, max_tb,
-            stop_thr, K, safe=True, wide=True)
+            stop_thr, K, safe=True, bits=16)
         return sub, np.arange(len(idx))
 
     return _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
-                               r_start64, q_start64, wide)
+                               r_start64, q_start64, bits)
 
 
 def _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
-                        r_start64, q_start64, wide):
+                        r_start64, q_start64, bits):
     """Shared resolve() for the speculative packed result (single-device
     and mesh paths).  ``rerun_wide(idx)`` -> (packed_subset, cols): the
     safe-sweep wide-record results for flagged lanes ``idx``, found at
-    columns ``cols`` of the returned matrix.  ``wide`` describes the
+    columns ``cols`` of the returned matrix.  ``bits`` describes the
     primary matrix's record layout (the rerun is always wide)."""
     from darwin_tpu.ops import gact_pallas
 
@@ -507,11 +515,12 @@ def _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
         nrows = packed.shape[0]
         tailr = 6 + 4 * (K - 1)
         R = (nrows - tailr) // K
-        # compact rows may carry one padded zero record (expands to no
-        # ops), so 2*R bounds the wide record count from above
-        L = min(qt + (R if wide else 2 * R), 2 * max_tb)
-        expand = (gact_pallas._expand_records if wide
-                  else gact_pallas._expand_records8)
+        # compact rows may carry padded zero records (they expand to no
+        # ops), so R*(16//bits) bounds the wide record count from above
+        L = min(qt + R * (16 // bits), 2 * max_tb)
+        expand = (gact_pallas._expand_records if bits == 16
+                  else functools.partial(
+                      gact_pallas._expand_records_packed, bits=bits))
         flagged = np.flatnonzero(packed[-1][:B] != 0)
         sub = cols = Rw = None
         tail = packed[K * R:]
@@ -620,18 +629,19 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
     if use_pallas_for(params):
         from darwin_tpu.ops import gact_pallas
         check_int16_packing(params, qt, rt, max_tb)
-        wide = not rec8_enabled()
+        bits = rec_bits()
         req = _pack_requests(r_start, r_size, q_start, q_size, rev)
         packed_dev = _extend_round_pallas(
             ref_codes, query_codes, req,
-            gact_pallas._static_params(params), qt, rt, max_tb, wide=wide)
+            gact_pallas._static_params(params), qt, rt, max_tb, bits=bits)
 
         def resolve():
             packed = np.asarray(packed_dev)
             R = packed.shape[0] - 6
-            L = min(qt + (R if wide else 2 * R), 2 * max_tb)
-            expand = (gact_pallas._expand_records if wide
-                      else gact_pallas._expand_records8)
+            L = min(qt + R * (16 // bits), 2 * max_tb)
+            expand = (gact_pallas._expand_records if bits == 16
+                      else functools.partial(
+                          gact_pallas._expand_records_packed, bits=bits))
             ops, n_ops = expand(packed[:R], B, L)
             tail = packed[R:]
             flagged = np.flatnonzero(packed[-1][:B] != 0)
@@ -641,7 +651,7 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
                 sub = np.asarray(_extend_round_pallas(
                     ref_codes, query_codes, _subset_requests(req, flagged),
                     gact_pallas._static_params(params), qt, rt, max_tb,
-                    safe=True, wide=True))
+                    safe=True, bits=16))
                 Rw = sub.shape[0] - 6
                 ow, nw = gact_pallas._expand_records(
                     sub[:Rw], flagged.size, L)

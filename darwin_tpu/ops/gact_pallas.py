@@ -890,22 +890,31 @@ def _tb_call(trace, start_q, start_r, max_tb, interpret, safe=False):
     return rec, qsteps[0], rsteps[0], spill[0]
 
 
-def _compact_records(rec):
+def _compact_records(rec, bits: int = 8):
     """Pack (RT, B) int32 traceback records (14-bit nI | closing << 14)
-    two per entry as 8-bit records (6-bit nI | closing << 6), halving the
-    device->host result bytes in the fused dispatch programs.  Returns
-    ((ceil(RT/2), B) int32 holding the row pair in bits 0..15, (B,) int32
-    overflow flags: nonzero when any of the lane's insert runs exceeds 63
-    — the dispatcher reruns those lanes through the wide layout, so the
+    16//bits per entry as bits-wide records ((bits-2)-bit nI | closing in
+    the top 2 bits), cutting the device->host result bytes of the fused
+    dispatch programs 2x (bits=8) or 4x (bits=4; cf. the RTL's 4-bit
+    direction words, RTL/GACT/SmithWatermanPE.v:149-201 — 2 bits name the
+    op, the rest carry the insert run).  Returns ((ceil(RT/per), B) int32
+    holding the record group in bits 0..15, (B,) int32 overflow flags:
+    nonzero when any of the lane's insert runs exceeds the nI field — the
+    dispatcher reruns those lanes through the wide layout, so the
     compaction is lossless end to end."""
+    per = 16 // bits
+    nmax = (1 << (bits - 2)) - 1
     nI = rec & 0x3FFF
     cl = (rec >> 14) & 0x3
-    ovf = jnp.any(nI > 63, axis=0).astype(jnp.int32)
-    r8 = jnp.minimum(nI, 63) | (cl << 6)
-    if r8.shape[0] % 2:
-        # a padded all-zero record expands to zero ops — harmless
-        r8 = jnp.pad(r8, ((0, 1), (0, 0)))
-    return r8[0::2] | (r8[1::2] << 8), ovf
+    ovf = jnp.any(nI > nmax, axis=0).astype(jnp.int32)
+    r = jnp.minimum(nI, nmax) | (cl << (bits - 2))
+    pad = -r.shape[0] % per
+    if pad:
+        # padded all-zero records expand to zero ops — harmless
+        r = jnp.pad(r, ((0, pad), (0, 0)))
+    out = r[0::per]
+    for i in range(1, per):
+        out = out | (r[i::per] << (bits * i))
+    return out, ovf
 
 
 def _expand_records(rec: np.ndarray, n_valid: int, L: int):
@@ -918,15 +927,19 @@ def _expand_records(rec: np.ndarray, n_valid: int, L: int):
     return _expand_ops(w & 0x3FFF, (w >> 14) & 0x3, L)
 
 
-def _expand_records8(crec: np.ndarray, n_valid: int, L: int):
-    """_expand_records for the compact two-per-entry layout produced by
-    _compact_records."""
+def _expand_records_packed(crec: np.ndarray, n_valid: int, L: int,
+                           bits: int = 8):
+    """_expand_records for the compact 16//bits-per-entry layout produced
+    by _compact_records(bits)."""
+    per = 16 // bits
+    mask = (1 << bits) - 1
     w = np.asarray(crec)[:, :n_valid].astype(np.int64) & 0xFFFF
     R2, n = w.shape
-    r = np.empty((2 * R2, n), np.int64)
-    r[0::2] = w & 0xFF
-    r[1::2] = w >> 8
-    return _expand_ops(r & 0x3F, (r >> 6) & 0x3, L)
+    r = np.empty((per * R2, n), np.int64)
+    for i in range(per):
+        r[i::per] = (w >> (bits * i)) & mask
+    nmask = (1 << (bits - 2)) - 1
+    return _expand_ops(r & nmask, (r >> (bits - 2)) & 0x3, L)
 
 
 def _expand_ops(nI: np.ndarray, closing: np.ndarray, L: int):

@@ -82,7 +82,7 @@ def sharded_extend_tiles(mesh: Mesh, ref_codes, query_codes, r_start, r_size,
 @functools.cache
 def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
                         axis: str = "data", safe: bool = False,
-                        wide: bool = True):
+                        bits: int = 16):
     """shard_map'd Pallas extend-tile step: each device gathers and aligns
     its local slice of the tile batch with the Pallas kernel (Pallas calls
     don't partition automatically under pjit the way lax.scan does, so the
@@ -106,8 +106,8 @@ def _pallas_extend_step(mesh: Mesh, params_static, qt, rt, max_tb,
         rec, qsteps, rsteps, spill = gact_pallas._tb_call(
             res.pop("trace"), q_size.astype(jnp.int32) - 1,
             r_size.astype(jnp.int32) - 1, max_tb, _interp(), safe=safe)
-        if not wide:
-            rec, ovf = gact_pallas._compact_records(rec)
+        if bits != 16:
+            rec, ovf = gact_pallas._compact_records(rec, bits)
             spill = spill | ovf
         return res | {"rec": rec.astype(jnp.int16), "q_steps_all": qsteps,
                       "r_steps_all": rsteps, "spill": spill}
@@ -144,7 +144,7 @@ def _pallas_first_tiles_step(mesh: Mesh, params_static, qt, rt,
 @functools.cache
 def _pallas_spec_step(mesh: Mesh, params_static, qt, rt, max_tb, stop_thr,
                       K, axis: str = "data", safe: bool = False,
-                      wide: bool = True):
+                      bits: int = 16):
     """shard_map'd speculative K-tile extension round: each device runs
     the full chained-tile program on its local slice of the request batch
     — per-device speculation needs no communication, so the mesh path
@@ -157,7 +157,7 @@ def _pallas_spec_step(mesh: Mesh, params_static, qt, rt, max_tb, stop_thr,
     def step(refc, qc, req):
         return _extend_round_spec_pallas(refc, qc, req, params_static,
                                          qt, rt, max_tb, stop_thr, K,
-                                         safe=safe, wide=wide)
+                                         safe=safe, bits=bits)
 
     return jax.jit(shard_map(
         step, mesh=mesh, in_specs=(P(), P(), spec_cols),
@@ -197,36 +197,39 @@ class MeshDispatcher:
         (r_start, r_size, q_start, q_size, rev) = self._shard(
             r_start, r_size, q_start, q_size, rev)
         if use_pallas_for(params):
+            import functools as _ft
+
             from darwin_tpu.ops import gact_pallas
-            from darwin_tpu.ops.dispatch import rec8_enabled
+            from darwin_tpu.ops.dispatch import rec_bits
             ps = gact_pallas._static_params(params)
-            wide = not rec8_enabled()
+            bits = rec_bits()
             step = _pallas_extend_step(self.mesh, ps, qt, rt, max_tb,
-                                       wide=wide)
+                                       bits=bits)
             out0 = step(ref_codes, query_codes, r_start, r_size, q_start,
                         q_size, rev)
 
             def resolve():
-                out, wide_used = out0, wide
+                out, bits_used = out0, bits
                 if bool(np.any(np.asarray(out["spill"]))):
                     # sweep spill or compact-record overflow: mesh lanes
                     # are device-sharded, so the whole (sharded) batch
                     # reruns safe + wide (lossless either way)
                     safe = _pallas_extend_step(self.mesh, ps, qt, rt,
                                                max_tb, safe=True,
-                                               wide=True)
+                                               bits=16)
                     out = safe(ref_codes, query_codes, r_start, r_size,
                                q_start, q_size, rev)
-                    wide_used = True
+                    bits_used = 16
                 out = dict(out)
                 out.pop("spill")
                 rec = np.asarray(out.pop("rec"))
                 qsteps = out.pop("q_steps_all")
                 rsteps = out.pop("r_steps_all")
-                L = min(qt + (rec.shape[0] if wide_used
-                              else 2 * rec.shape[0]), 2 * max_tb)
-                expand = (gact_pallas._expand_records if wide_used
-                          else gact_pallas._expand_records8)
+                L = min(qt + rec.shape[0] * (16 // bits_used), 2 * max_tb)
+                expand = (gact_pallas._expand_records if bits_used == 16
+                          else _ft.partial(
+                              gact_pallas._expand_records_packed,
+                              bits=bits_used))
                 ops, n_ops = expand(rec, B, L)
                 return out | {"ops": ops, "n_ops": n_ops,
                               "q_steps": np.asarray(qsteps)[:B],
@@ -253,11 +256,11 @@ class MeshDispatcher:
         from darwin_tpu.ops.dispatch import (SPEC_K, _make_spec_resolver,
                                              _pack_spec_requests,
                                              check_int16_packing,
-                                             rec8_enabled)
+                                             rec_bits)
         check_int16_packing(params, qt, rt, max_tb)
         B = int(np.asarray(r_start).shape[0])
         K = SPEC_K
-        wide = not rec8_enabled()
+        bits = rec_bits()
         req_np, r_start64, q_start64 = _pack_spec_requests(
             r_start, r_size, q_start, q_size, rev, chrom_start, chrom_len,
             q_buf_start, q_len)
@@ -265,7 +268,7 @@ class MeshDispatcher:
                              NamedSharding(self.mesh, P(None, "data")))
         ps = gact_pallas._static_params(params)
         step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb, stop_thr,
-                                 K, wide=wide)
+                                 K, bits=bits)
         packed_dev = step(ref_codes, query_codes, req)
 
         def rerun_wide(idx):
@@ -274,11 +277,11 @@ class MeshDispatcher:
             # resolver picks columns idx out of the full-width result
             safe_step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb,
                                           stop_thr, K, safe=True,
-                                          wide=True)
+                                          bits=16)
             return safe_step(ref_codes, query_codes, req), np.asarray(idx)
 
         return _make_spec_resolver(packed_dev, rerun_wide, B, K, qt,
-                                   max_tb, r_start64, q_start64, wide)
+                                   max_tb, r_start64, q_start64, bits)
 
     def first_tile_scores(self, ref_codes, query_codes, r_start, r_size,
                           q_start, q_size, params, *, qt, rt):

@@ -131,9 +131,10 @@ def _res_equal(a, b):
             assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
 
 
-def test_rec8_overflow_rerun(rng, monkeypatch):
-    """Compact-record overflow (insert run > 63) must be detected and
-    rerun losslessly through the wide layout."""
+@pytest.mark.parametrize("bits", [8, 4])
+def test_rec_overflow_rerun(rng, monkeypatch, bits):
+    """Compact-record overflow (insert run wider than the nI field) must
+    be detected and rerun losslessly through the wide layout."""
     monkeypatch.setenv("DARWIN_TPU_KERNEL", "pallas")
     dispatch.use_pallas.cache_clear()
     from darwin_tpu.ops.oracle import OP_I
@@ -151,10 +152,10 @@ def test_rec8_overflow_rerun(rng, monkeypatch):
             refc, qc, r_start, r_size, q_start, q_size, rev, params,
             qt=256, rt=256, max_tb=512)()
 
-    monkeypatch.setenv("DARWIN_TPU_REC8", "0")
+    monkeypatch.setenv("DARWIN_TPU_RECBITS", "16")
     wide = run()
     assert reruns == []                    # wide layout never overflows
-    monkeypatch.setenv("DARWIN_TPU_REC8", "1")
+    monkeypatch.setenv("DARWIN_TPU_RECBITS", str(bits))
     compact = run()
     assert reruns == [1]                   # exactly the one flagged lane
     _res_equal(wide, compact)
@@ -168,7 +169,8 @@ def test_rec8_overflow_rerun(rng, monkeypatch):
     assert longest_i > 63
 
 
-def test_rec8_overflow_spec_chain(rng, monkeypatch):
+@pytest.mark.parametrize("bits", [8, 4])
+def test_rec_overflow_spec_chain(rng, monkeypatch, bits):
     """The speculative resolver's per-level patching of flagged lanes:
     compact + overflow must equal the wide layout on every level, the
     tile-1 stats, and the reconstructed speculative requests."""
@@ -188,9 +190,9 @@ def test_rec8_overflow_spec_chain(rng, monkeypatch):
             chrom_len, q_buf_start, q_len, params,
             qt=256, rt=256, max_tb=512, stop_thr=192)()
 
-    monkeypatch.setenv("DARWIN_TPU_REC8", "0")
+    monkeypatch.setenv("DARWIN_TPU_RECBITS", "16")
     wide = run()
-    monkeypatch.setenv("DARWIN_TPU_REC8", "1")
+    monkeypatch.setenv("DARWIN_TPU_RECBITS", str(bits))
     compact = run()
     _res_equal(wide, compact)
 

@@ -40,10 +40,11 @@ for s in "${steps[@]}"; do
       # early whether bigref_w3's build will be bound by a slow scatter
       run scatter 1800 python "$REPO/tools/scatter_probe.py" ;;
     rec8ab)
-      # compact vs wide traceback records: the e2e effect of halving the
-      # extension loop's result fetch (the steady-state tunnel bound)
-      run rec8_on  3600 env DARWIN_TPU_REC8=1 python "$REPO/tools/bench_e2e.py"
-      run rec8_off 3600 env DARWIN_TPU_REC8=0 python "$REPO/tools/bench_e2e.py" ;;
+      # record-packing width A/B: the e2e effect of shrinking the
+      # extension loop's result fetch 2x/4x (the steady-state tunnel bound)
+      run rec16 3600 env DARWIN_TPU_RECBITS=16 python "$REPO/tools/bench_e2e.py"
+      run rec8  3600 env DARWIN_TPU_RECBITS=8  python "$REPO/tools/bench_e2e.py"
+      run rec4  3600 env DARWIN_TPU_RECBITS=4  python "$REPO/tools/bench_e2e.py" ;;
     bigref01)
       # small-genome reference point on the same hardware: per-base build
       # rate + per-read stage profile to compare the 3.2 Gbp run against

@@ -8,6 +8,7 @@ start_end, trace + traceback), large escalation tile (strip kernel).
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -128,6 +129,18 @@ def main():
     csr = Aligner(cfg2, store,
                   index_layout="csr").align_batch(reads)
     check("csr:identical", single == csr)
+
+    # record-packing widths on the real chip: 16/8/4 must be byte-identical
+    # (8 is the default every artifact runs; 4 is the A/B candidate — both
+    # depend on the overflow-flag + wide-rerun path being exact on-device)
+    try:
+        os.environ["DARWIN_TPU_RECBITS"] = "16"
+        rec16 = Aligner(cfg2, store).align_batch(reads)
+        os.environ["DARWIN_TPU_RECBITS"] = "4"
+        rec4 = Aligner(cfg2, store).align_batch(reads)
+    finally:
+        os.environ.pop("DARWIN_TPU_RECBITS", None)
+    check("recbits:identical", single == rec16 and single == rec4)
 
     # 5. speculation telemetry: on this straight-line workload the
     # device-predicted chain requests should almost always match the host
