@@ -19,6 +19,12 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin ignores the env var; the config API is the
+    # reliable way to force a backend (CPU dry-runs)
+    import jax as _jax
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def wait_for_device() -> bool:
     """The axon tunnel can flap; a bare ``jax.devices()`` then hangs this

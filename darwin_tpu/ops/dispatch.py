@@ -36,6 +36,12 @@ def use_pallas() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+# process-wide telemetry for the lossless recovery paths (sweep spill /
+# compact-record overflow reruns).  Printed as a delta per run() alongside
+# the other non-reference counters; GIL-racing += is fine for telemetry.
+RECOVERY = {"rerun_dispatches": 0, "rerun_lanes": 0}
+
+
 def rec_bits() -> int:
     """Traceback-record packing width in the fused dispatch results:
     16 = one int16 record per entry (wide), 8 (default) or 4 = 16//bits
@@ -525,6 +531,8 @@ def _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
         sub = cols = Rw = None
         tail = packed[K * R:]
         if flagged.size:  # sweep spill / record overflow: lossless rerun
+            RECOVERY["rerun_dispatches"] += 1
+            RECOVERY["rerun_lanes"] += int(flagged.size)
             sub_dev, cols = rerun_wide(flagged)
             sub = np.asarray(sub_dev)
             Rw = (sub.shape[0] - tailr) // K
@@ -648,6 +656,8 @@ def extend_tiles_async(ref_codes, query_codes, r_start, r_size, q_start,
             if flagged.size:
                 # fast-sweep spill or compact-record overflow: those
                 # lanes rerun safe + wide (lossless either way)
+                RECOVERY["rerun_dispatches"] += 1
+                RECOVERY["rerun_lanes"] += int(flagged.size)
                 sub = np.asarray(_extend_round_pallas(
                     ref_codes, query_codes, _subset_requests(req, flagged),
                     gact_pallas._static_params(params), qt, rt, max_tb,

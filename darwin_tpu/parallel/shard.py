@@ -214,6 +214,9 @@ class MeshDispatcher:
                     # sweep spill or compact-record overflow: mesh lanes
                     # are device-sharded, so the whole (sharded) batch
                     # reruns safe + wide (lossless either way)
+                    from darwin_tpu.ops.dispatch import RECOVERY
+                    RECOVERY["rerun_dispatches"] += 1
+                    RECOVERY["rerun_lanes"] += B
                     safe = _pallas_extend_step(self.mesh, ps, qt, rt,
                                                max_tb, safe=True,
                                                bits=16)

@@ -328,6 +328,8 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
           f"{int((time.time() - t0) * 1000)} msec", file=err)
 
     print("Aligning reads ...", file=err)
+    from darwin_tpu.ops.dispatch import RECOVERY, rec_bits
+    recov0 = dict(RECOVERY)
     t0 = time.time()
     start, stop = reads_range if reads_range is not None else (None, None)
     batches = iter_read_batches(reads_path, reads_per_batch,
@@ -385,6 +387,10 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     print(f"[darwin_tpu] #spec hits: {h}  #spec misses: {m}  "
           f"hit rate: {rate}  #extend rounds: {c['num_extend_rounds']}",
           file=err)
+    print(f"[darwin_tpu] rec bits: {rec_bits()}  #recovery dispatches: "
+          f"{RECOVERY['rerun_dispatches'] - recov0['rerun_dispatches']}  "
+          f"#recovery lanes: "
+          f"{RECOVERY['rerun_lanes'] - recov0['rerun_lanes']}", file=err)
     print(f"Time elapsed (aligning reads): "
           f"{int((time.time() - t0) * 1000)} msec", file=err)
     return c

@@ -7,6 +7,16 @@ Shapes: filter tile (128, max-cell, no trace), extend tile (384,
 start_end, trace + traceback), large escalation tile (strip kernel).
 """
 
+# runnable standalone (no PYTHONPATH needed)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin ignores the env var; the config API
+    # is the reliable way to force a backend (CPU dry-runs)
+    import jax as _jax
+    _jax.config.update("jax_platforms",
+                       _os.environ["JAX_PLATFORMS"])
 import json
 import os
 import sys
