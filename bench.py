@@ -19,11 +19,8 @@ import time
 
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    # the axon TPU plugin ignores the env var; the config API is the
-    # reliable way to force a backend (CPU dry-runs)
-    import jax as _jax
-    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+from darwin_tpu.utils.platform import force_platform_from_env
+force_platform_from_env()
 
 
 def wait_for_device() -> bool:

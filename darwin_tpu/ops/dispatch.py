@@ -497,6 +497,8 @@ def extend_tiles_spec_async(ref_codes, query_codes, r_start, r_size,
         # per-lane recovery: only the flagged lanes (sweep spill or
         # compact-record overflow) rerun — safe sweep, wide records;
         # returns (packed, source column per idx entry)
+        RECOVERY["rerun_dispatches"] += 1
+        RECOVERY["rerun_lanes"] += len(idx)
         sub = _extend_round_spec_pallas(
             ref_codes, query_codes, _subset_requests(req, idx),
             gact_pallas._static_params(params), qt, rt, max_tb,
@@ -531,8 +533,8 @@ def _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
         sub = cols = Rw = None
         tail = packed[K * R:]
         if flagged.size:  # sweep spill / record overflow: lossless rerun
-            RECOVERY["rerun_dispatches"] += 1
-            RECOVERY["rerun_lanes"] += int(flagged.size)
+            # (RECOVERY telemetry is counted inside rerun_wide — the mesh
+            # variant reruns the whole sharded batch, not just `flagged`)
             sub_dev, cols = rerun_wide(flagged)
             sub = np.asarray(sub_dev)
             Rw = (sub.shape[0] - tailr) // K

@@ -197,8 +197,6 @@ class MeshDispatcher:
         (r_start, r_size, q_start, q_size, rev) = self._shard(
             r_start, r_size, q_start, q_size, rev)
         if use_pallas_for(params):
-            import functools as _ft
-
             from darwin_tpu.ops import gact_pallas
             from darwin_tpu.ops.dispatch import rec_bits
             ps = gact_pallas._static_params(params)
@@ -230,7 +228,7 @@ class MeshDispatcher:
                 rsteps = out.pop("r_steps_all")
                 L = min(qt + rec.shape[0] * (16 // bits_used), 2 * max_tb)
                 expand = (gact_pallas._expand_records if bits_used == 16
-                          else _ft.partial(
+                          else functools.partial(
                               gact_pallas._expand_records_packed,
                               bits=bits_used))
                 ops, n_ops = expand(rec, B, L)
@@ -278,6 +276,9 @@ class MeshDispatcher:
             # mesh lanes are device-sharded, so the rerun (safe sweep +
             # wide records) keeps the whole (sharded) batch and the
             # resolver picks columns idx out of the full-width result
+            from darwin_tpu.ops.dispatch import RECOVERY
+            RECOVERY["rerun_dispatches"] += 1
+            RECOVERY["rerun_lanes"] += int(req.shape[1])  # whole batch
             safe_step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb,
                                           stop_thr, K, safe=True,
                                           bits=16)

@@ -270,6 +270,8 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     layout a valid cache holds and builds 'pairs' otherwise."""
     if index_layout not in (None, "pairs", "csr"):
         raise ValueError(f"unknown index layout {index_layout!r}")
+    from darwin_tpu.ops.dispatch import rec_bits
+    rb = rec_bits()        # validate DARWIN_TPU_RECBITS before any work
     enable_compile_cache()
     out = out or sys.stdout
     err = err or sys.stderr
@@ -328,7 +330,7 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
           f"{int((time.time() - t0) * 1000)} msec", file=err)
 
     print("Aligning reads ...", file=err)
-    from darwin_tpu.ops.dispatch import RECOVERY, rec_bits
+    from darwin_tpu.ops.dispatch import RECOVERY
     recov0 = dict(RECOVERY)
     t0 = time.time()
     start, stop = reads_range if reads_range is not None else (None, None)
@@ -387,7 +389,7 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     print(f"[darwin_tpu] #spec hits: {h}  #spec misses: {m}  "
           f"hit rate: {rate}  #extend rounds: {c['num_extend_rounds']}",
           file=err)
-    print(f"[darwin_tpu] rec bits: {rec_bits()}  #recovery dispatches: "
+    print(f"[darwin_tpu] rec bits: {rb}  #recovery dispatches: "
           f"{RECOVERY['rerun_dispatches'] - recov0['rerun_dispatches']}  "
           f"#recovery lanes: "
           f"{RECOVERY['rerun_lanes'] - recov0['rerun_lanes']}", file=err)

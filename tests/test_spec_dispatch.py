@@ -37,19 +37,12 @@ def _interpret_env(monkeypatch):
     dispatch.use_pallas.cache_clear()
 
 
-def _mutate(rng, frag, sub=0.03, ind=0.01):
-    out = []
-    for b in frag:
-        r = rng.random()
-        if r < ind:                      # deletion
-            continue
-        if r < 2 * ind:                  # insertion
-            out.append(int(rng.choice(BASES)))
-        if rng.random() < sub:           # substitution
-            out.append(int(rng.choice(BASES)))
-        else:
-            out.append(int(b))
-    return np.asarray(out, np.uint8)
+def _mutate(rng, frag):
+    """conftest.mutate on ASCII bases (it operates on 0-3 codes)."""
+    from conftest import mutate
+    from darwin_tpu.genome import encode5
+    return BASES[mutate(rng, encode5(frag),
+                        sub_p=0.03, ins_p=0.01, del_p=0.01)]
 
 
 @pytest.fixture

@@ -19,12 +19,8 @@ all reps run inside one jitted scan.
 import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-if _os.environ.get("JAX_PLATFORMS"):
-    # the axon TPU plugin ignores the env var; the config API
-    # is the reliable way to force a backend (CPU dry-runs)
-    import jax as _jax
-    _jax.config.update("jax_platforms",
-                       _os.environ["JAX_PLATFORMS"])
+from darwin_tpu.utils.platform import force_platform_from_env
+force_platform_from_env()
 import json
 import time
 

@@ -11,12 +11,8 @@ start_end, trace + traceback), large escalation tile (strip kernel).
 import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-if _os.environ.get("JAX_PLATFORMS"):
-    # the axon TPU plugin ignores the env var; the config API
-    # is the reliable way to force a backend (CPU dry-runs)
-    import jax as _jax
-    _jax.config.update("jax_platforms",
-                       _os.environ["JAX_PLATFORMS"])
+from darwin_tpu.utils.platform import force_platform_from_env
+force_platform_from_env()
 import json
 import os
 import sys
@@ -143,13 +139,17 @@ def main():
     # record-packing widths on the real chip: 16/8/4 must be byte-identical
     # (8 is the default every artifact runs; 4 is the A/B candidate — both
     # depend on the overflow-flag + wide-rerun path being exact on-device)
+    prior = os.environ.get("DARWIN_TPU_RECBITS")
     try:
         os.environ["DARWIN_TPU_RECBITS"] = "16"
         rec16 = Aligner(cfg2, store).align_batch(reads)
         os.environ["DARWIN_TPU_RECBITS"] = "4"
         rec4 = Aligner(cfg2, store).align_batch(reads)
     finally:
-        os.environ.pop("DARWIN_TPU_RECBITS", None)
+        if prior is None:
+            os.environ.pop("DARWIN_TPU_RECBITS", None)
+        else:
+            os.environ["DARWIN_TPU_RECBITS"] = prior
     check("recbits:identical", single == rec16 and single == rec4)
 
     # 5. speculation telemetry: on this straight-line workload the
