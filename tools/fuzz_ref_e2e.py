@@ -1,0 +1,183 @@
+"""End-to-end fuzz vs the reference binary: random read sets on the
+bundled yeast genome, byte-compared in both output modes.
+
+Each iteration simulates a fresh read set (mixed lengths, occasional
+structural-variant reads that force large-tile escalation), runs the
+COMPLETE reference binary (tests/ref_binary.py shim build) and this
+framework's CLI under the same cwd/params.cfg, and asserts identical
+stdout.  --backend pallas-interpret routes our side through the fused
+TPU dispatch programs (speculative chains, compact records, wide reruns)
+with the Pallas kernels in interpret mode, so the production dispatch
+path itself is fuzzed against the reference without a chip.
+
+Usage:
+    JAX_PLATFORMS=cpu python tools/fuzz_ref_e2e.py \
+        [--iters 20] [--mode both] [--backend lax|pallas-interpret]
+        [--seed0 1000] [--workdir /tmp/fuzz_ref]
+
+Prints one JSON line; exit 0 = every iteration byte-identical.
+Mismatching artifacts are left in the workdir for diagnosis.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+from darwin_tpu.utils.platform import force_platform_from_env  # noqa: E402
+
+force_platform_from_env()
+
+import numpy as np  # noqa: E402
+
+REF = "/root/reference/software/data/sample_ref.fa"
+
+
+def _write_fa(path, reads):
+    with open(path, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n{bytes(np.asarray(seq, np.uint8)).decode()}\n")
+
+
+def _our_cli(ref_path, reads_path, overlap, cwd):
+    import contextlib
+    import io
+
+    from darwin_tpu import cli
+    old = os.getcwd()
+    buf = io.StringIO()
+    try:
+        os.chdir(cwd)
+        with contextlib.redirect_stdout(buf), \
+                contextlib.redirect_stderr(io.StringIO()):
+            rc = cli.main([str(ref_path), str(reads_path),
+                           "1" if overlap else "0"])
+    finally:
+        os.chdir(old)
+    if rc != 0:
+        raise RuntimeError(f"cli rc={rc}")
+    return buf.getvalue()
+
+
+def _make_reads(store, rng, interpret: bool):
+    from darwin_tpu.utils.simulate import simulate_reads
+    n = int(rng.integers(3, 6) if interpret else rng.integers(6, 14))
+    max_len = 1400 if interpret else 9000
+    reads = []
+    seed = int(rng.integers(0, 2**31))
+    lengths = rng.integers(600, max_len, size=n)
+    for i, (nm, s, _) in enumerate(
+            simulate_reads(store, n, int(lengths.max()), seed=seed)):
+        reads.append((f"r{i}_{nm}", s[:int(lengths[i])]))
+    # SV reads force 1984-wide large-tile escalation — far too slow for
+    # interpret-mode kernels, so only the compiled (lax) runs get them
+    if not interpret and rng.random() < 0.5:
+        s0 = int(store.chromosomes[0].start) + int(rng.integers(0, 150000))
+        left = int(rng.integers(1200, 2500))
+        gap = int(rng.integers(600, 1500))
+        seq = np.concatenate([store.bases[s0:s0 + left],
+                              store.bases[s0 + left + gap:
+                                          s0 + left + gap + left]]).copy()
+        idx = rng.integers(0, len(seq), size=len(seq) // 50)
+        seq[idx] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, len(idx))]
+        reads.append(("sv", seq))
+    return reads
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--mode", choices=("sam", "mhap", "both"),
+                    default="both")
+    ap.add_argument("--backend", choices=("lax", "pallas-interpret"),
+                    default="lax")
+    ap.add_argument("--seed0", type=int, default=1000)
+    ap.add_argument("--scoring", choices=("default", "generic"),
+                    default="default",
+                    help="generic = opening cheaper than extending (both "
+                         "gap lanes), the scoring family outside the "
+                         "prefix-max domain — routes the lax kernel "
+                         "through the max-plus scan and the Pallas "
+                         "kernel through its generic closed form")
+    ap.add_argument("--workdir", default="/tmp/fuzz_ref")
+    args = ap.parse_args()
+
+    interpret = args.backend == "pallas-interpret"
+    if interpret:
+        os.environ["DARWIN_TPU_PALLAS_INTERPRET"] = "1"
+        os.environ["DARWIN_TPU_KERNEL"] = "pallas"
+        # bound the interpret-mode work per dispatch; identity is
+        # K-invariant by construction
+        os.environ.setdefault("DARWIN_TPU_SPEC_K", "4")
+    else:
+        os.environ["DARWIN_TPU_KERNEL"] = "lax"
+
+    import ref_binary as rb
+    from darwin_tpu.io.fasta import load_genome
+    from darwin_tpu.ops.dispatch import use_pallas
+    use_pallas.cache_clear()
+
+    rb.build()
+    store = load_genome(REF)
+    os.makedirs(args.workdir, exist_ok=True)
+    import re
+    cfg_text = open("/root/reference/software/params.cfg").read()
+    if args.scoring == "generic":
+        for key, val in (("gap_open", "-1"), ("gap_extend", "-5"),
+                         ("long_gap_open", "-3"),
+                         ("long_gap_extend", "-9")):
+            cfg_text = re.sub(rf"(?m)^{key}\s*=.*$", f"{key} = {val}",
+                              cfg_text)
+    if interpret:
+        # interpret-mode kernels are ~100x slower than compiled ones;
+        # small tiles keep an iteration in seconds while exercising the
+        # same dispatch machinery (identity must hold for ANY params.cfg)
+        for key, val in (("first_tile_size", "32"),
+                         ("first_tile_score_threshold", "20"),
+                         ("tile_size", "64"),
+                         ("tile_overlap", "16"),
+                         ("min_overlap", "400")):
+            cfg_text = re.sub(rf"(?m)^{key}\s*=.*$", f"{key} = {val}",
+                              cfg_text)
+    open(os.path.join(args.workdir, "params.cfg"), "w").write(cfg_text)
+
+    t0 = time.time()
+    done = 0
+    for it in range(args.iters):
+        rng = np.random.default_rng(args.seed0 + it)
+        reads = _make_reads(store, rng, interpret)
+        fa = os.path.join(args.workdir, f"reads_{it}.fa")
+        _write_fa(fa, reads)
+        modes = {"sam": [False], "mhap": [True],
+                 "both": [False, True]}[args.mode]
+        for overlap in modes:
+            ref_out = rb.run(REF, fa, overlap, args.workdir)
+            our_out = _our_cli(REF, fa, overlap, args.workdir)
+            if ref_out != our_out:
+                tag = f"{it}_{'mhap' if overlap else 'sam'}"
+                open(os.path.join(args.workdir, f"ref_{tag}.out"),
+                     "w").write(ref_out)
+                open(os.path.join(args.workdir, f"our_{tag}.out"),
+                     "w").write(our_out)
+                print(json.dumps({
+                    "ok": False, "iter": it, "mode": tag,
+                    "backend": args.backend, "reads_fa": fa,
+                    "workdir": args.workdir}))
+                return 1
+        os.remove(fa)
+        done += 1
+        print(f"iter {it} ok ({time.time() - t0:.0f}s)", file=sys.stderr)
+    print(json.dumps({"ok": True, "iters": done, "mode": args.mode,
+                      "backend": args.backend, "scoring": args.scoring,
+                      "seconds": round(time.time() - t0, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,7 +11,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 LOG=/tmp/r3_queue.log
 steps=("$@")
-[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic scatter rec8ab bigref01 bigref denovo bigref_w3)
+[ ${#steps[@]} -eq 0 ] && steps=(smoke bench generic scatter rec8ab bigref01 bigref denovo bigref_w3 ktune)
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -63,6 +63,11 @@ for s in "${steps[@]}"; do
       # beside the 3.2 GB genome); round 2 had no single-chip story here
       run bigref_w3 18000 python "$REPO/tools/bigref_e2e.py" \
           --window 3 --layout csr --out "$REPO/BIGREF_W3_r03.json" ;;
+    ktune)
+      # optional: with 8-bit records the fetch per K halves, so the
+      # optimal speculative chain depth may sit above 12
+      run k16 3600 env DARWIN_TPU_SPEC_K=16 python "$REPO/tools/bench_e2e.py"
+      run k24 3600 env DARWIN_TPU_SPEC_K=24 python "$REPO/tools/bench_e2e.py" ;;
   esac
 done
 echo "QUEUE DONE" | tee -a "$LOG"
