@@ -1,0 +1,156 @@
+"""The stripe-geometry tie class: the one documented divergence between
+this framework and the reference binary.
+
+The reference SIMD kernel's lazy gap pass overrides a cell's T field only
+on STRICT improvement (Processor.cpp:424-431), while its first pass
+blends non-strictly (:308-329) — so an exact score tie between the
+diagonal and a gap lane resolves differently depending on whether the
+gap's source crosses one of the kernel's 16-lane stripe boundaries.
+That geometry has no analog in a TPU column kernel; our production
+kernels follow the deterministic converged-value chain of
+oracle.clean_align instead.  This test pins the whole contract on a
+real divergent tile found by tools/fuzz_ref_e2e.py (yeast genome,
+seed 3014):
+
+  * striped_align (the lane-faithful UB-pinned emulation) reproduces the
+    compiled reference kernel bit-for-bit INCLUDING this tie;
+  * the production kernel follows clean_align bit-for-bit;
+  * the two traceback paths differ but score identically with identical
+    end points — the class utils/rescore.py adjudicates in the e2e
+    harnesses.
+"""
+
+import numpy as np
+import pytest
+
+from darwin_tpu.config import Config
+from darwin_tpu.ops import gact
+from darwin_tpu.ops import oracle as orc
+
+TILE_Q = (
+    "TATCATGGTAAGGTCTGAGAAGTTTAATAGGACAGACATAGATGGTATTGTTGTTGCCTTGGTA"
+    "CCTGGCCATGAAAGTGAAGATGTATATGATTTCTGGTGGCAGTGGCCATTCGTTGCGCAAGGTC"
+    "GACTGCTTCAGGCAGTAACAGTAGTCTTGAGGTTGGTGACGATCGTGGGTAGTATTGATGTTGA"
+    "CTCGGTACCTTGTCGTGAAAATGGAGATAAGATCGGCTTAACTAGTGTCAGGACCGTTGTTACC"
+    "ACATGCTGTGACTGCCTTTGGTAGTAGCATTAGTCTTGTAGTGTTGTGTCGGTGAATGACGGTA"
+    "TTGATGTTGATCGGTCCTTGTCCCTGAAGAATGAGAGATAAAGATGGCTGAACTGGTGTCAGTG")
+
+TILE_R = (
+    "AATAGGTTACTTCTAACAAATGAGTTTACGGCAACGGACCCCATGTGAAGGTTAATCACACTGT"
+    "GATGGTCTACCGTGATGGCAATCACTACTGAAACTTCCCATGCATATATGAAAACTGTTGTTAG"
+    "ATTCGGTCGGTTTGACATGGTAAGGTCTGGGAAGTTTAATATGACAGTCATGATGGTATTGATG"
+    "TTGCCTTGGTACCTGGCCATGAAAGTGAAGATGTAGATGACTTTACTGGTGGCAGTGGCCATGG"
+    "TTGCCGCAAGGTTGACTGCTTTGGCAGTAACAGTAGTCTTGAGGTTGTTGACGATCGTGGTAGT"
+    "ATTGATGTTGACTCGGTACCTTGTCGTGAAAATGGAGATGAAGATGGCTTAACTGGTGTCAGTG")
+
+
+def _codes(s):
+    return np.frombuffer(s.encode(), np.uint8)
+
+
+def _nt(s):
+    return np.array([{"A": 0, "C": 1, "G": 2, "T": 3}[c] for c in s],
+                    np.int32)
+
+
+@pytest.fixture(scope="module")
+def aligned():
+    cfg = Config()
+    sub = np.asarray(cfg.sub_matrix_5x5, np.int32)
+    q, r = _nt(TILE_Q), _nt(TILE_R)
+    s_s, _, _, tr_s = orc.striped_align(q, r, sub, -4, -2, -25, -1, True)
+    s_c, _, _, tr_c = orc.clean_align(q, r, sub, -4, -2, -25, -1, True)
+    ops_s, qs_s, rs_s = orc.traceback(tr_s, len(q) - 1, len(r) - 1, 768)
+    ops_c, qs_c, rs_c = orc.traceback(tr_c, len(q) - 1, len(r) - 1, 768)
+    return (s_s, ops_s, qs_s, rs_s), (s_c, ops_c, qs_c, rs_c), (q, r, sub)
+
+
+def test_tie_divergence_is_real_and_equal_score(aligned):
+    (s_s, ops_s, qs_s, rs_s), (s_c, ops_c, qs_c, rs_c), _ = aligned
+    assert list(ops_s) != list(ops_c)          # the tie class exists
+    assert s_s == s_c == 203                   # identical scores
+    assert (qs_s, rs_s) == (qs_c, rs_c)        # identical end points
+
+
+def test_production_kernel_follows_clean_align(aligned):
+    _, (s_c, ops_c, _, _), (q, r, sub) = aligned
+    params = gact.make_params(Config())
+    B = 8
+    qc = np.zeros((B, 384), np.uint8)
+    rc = np.zeros((B, 384), np.uint8)
+    qc[0, :len(q)] = q
+    rc[0, :len(r)] = r
+    ql = np.ones(B, np.int32); ql[0] = len(q)
+    rl = np.ones(B, np.int32); rl[0] = len(r)
+    out = gact.align_and_traceback(
+        qc, rc, ql, rl, np.ones(B, bool), params, 768,
+        all_start_end=True)
+    assert int(out["score"][0]) == s_c
+    got = [int(o) for o in np.asarray(out["ops"][0])[:int(out["n_ops"][0])]]
+    assert got == [int(o) for o in ops_c]
+
+
+def test_striped_matches_reference_kernel(aligned):
+    rk = pytest.importorskip("ref_kernel")
+    lib = rk.build()
+    if lib is None:
+        pytest.skip("reference kernel not buildable here")
+    (s_s, ops_s, _, _), _, _ = aligned
+    p15 = [2, -6, -6, -6, 2, -6, -6, 2, -6, 2, -1, -4, -2, -25, -1]
+    rk.set_scoring(lib, p15)
+    dram = (TILE_R + TILE_Q).encode()
+    req = {"align_fields": rk.AF_START_END, "ref_addr": 0,
+           "query_addr": len(TILE_R), "ref_size": len(TILE_R),
+           "query_size": len(TILE_Q), "max_tb_steps": 768}
+    ref = rk.batch(lib, dram, [req], True, simd=True)[0]
+    assert ref["score"] == s_s
+    assert ref["ops"] == [int(o) for o in ops_s]
+
+
+def test_rescore_classifier_units():
+    """classify_sam: equal-score CIGAR shifts are tie-equivalent, anything
+    that changes score or span is hard."""
+    import os
+    import tempfile
+
+    from darwin_tpu.utils.rescore import classify_sam
+    cfg = Config()
+    with tempfile.TemporaryDirectory() as d:
+        fa = os.path.join(d, "g.fa")
+        open(fa, "w").write(">c\nAAAAAA\n")
+        line = "r\t0\tc\t1\t60\t{}\t*\t0\t0\tAAAAAAAA\t*"
+        a = line.format("2M2I4M")      # both all-match, same gap run:
+        b = line.format("4M2I2M")      # equal score by construction
+        cls = classify_sam(a, b, fa, cfg)
+        assert cls["hard"] == [] and cls["tie_equivalent"] == 1
+        c = line.format("2M2I2M2D2M")  # extra D: different span + score
+        cls2 = classify_sam(a, c, fa, cfg)
+        assert len(cls2["hard"]) == 1
+        # identical lines count as identical
+        cls3 = classify_sam(a, a, fa, cfg)
+        assert cls3 == {"hard": [], "tie_equivalent": 0, "identical": 1}
+
+
+@pytest.mark.slow
+def test_fuzz_iteration_that_found_the_tie():
+    """The exact fuzz iteration that uncovered the tie class (seed 3014,
+    two ~8.7 kb reads crossing long-gap ties) must adjudicate clean:
+    zero hard mismatches, >=1 tie-equivalent line."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "fuzz_ref_e2e.py"),
+         "--iters", "1", "--seed0", "3014", "--mode", "sam",
+         "--workdir", "/tmp/fuzz_tie_regress"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["ok"]
+    assert info["tie_equivalent_lines"] >= 1, info

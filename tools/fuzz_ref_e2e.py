@@ -147,8 +147,13 @@ def main():
                               cfg_text)
     open(os.path.join(args.workdir, "params.cfg"), "w").write(cfg_text)
 
+    from darwin_tpu.config import load_config
+    from darwin_tpu.utils.rescore import classify_mhap, classify_sam
+    cfg = load_config(os.path.join(args.workdir, "params.cfg"))
+
     t0 = time.time()
     done = 0
+    ties = 0
     for it in range(args.iters):
         rng = np.random.default_rng(args.seed0 + it)
         reads = _make_reads(store, rng, interpret)
@@ -159,7 +164,14 @@ def main():
         for overlap in modes:
             ref_out = rb.run(REF, fa, overlap, args.workdir)
             our_out = _our_cli(REF, fa, overlap, args.workdir)
-            if ref_out != our_out:
+            if ref_out == our_out:
+                continue
+            # adjudicate: the reference's stripe-geometry tie-breaks can
+            # pick a different EQUAL-SCORE path (utils/rescore.py); only
+            # a divergence that fails rescoring is a bug
+            cls = (classify_mhap(ref_out, our_out) if overlap
+                   else classify_sam(ref_out, our_out, REF, cfg))
+            if cls["hard"]:
                 tag = f"{it}_{'mhap' if overlap else 'sam'}"
                 open(os.path.join(args.workdir, f"ref_{tag}.out"),
                      "w").write(ref_out)
@@ -168,13 +180,18 @@ def main():
                 print(json.dumps({
                     "ok": False, "iter": it, "mode": tag,
                     "backend": args.backend, "reads_fa": fa,
+                    "hard_mismatches": len(cls["hard"]),
                     "workdir": args.workdir}))
                 return 1
+            ties += cls["tie_equivalent"]
+            print(f"iter {it}: {cls['tie_equivalent']} tie-equivalent "
+                  f"line(s), rescored equal", file=sys.stderr)
         os.remove(fa)
         done += 1
         print(f"iter {it} ok ({time.time() - t0:.0f}s)", file=sys.stderr)
     print(json.dumps({"ok": True, "iters": done, "mode": args.mode,
                       "backend": args.backend, "scoring": args.scoring,
+                      "tie_equivalent_lines": ties,
                       "seconds": round(time.time() - t0, 1)}))
     return 0
 
