@@ -50,7 +50,20 @@ TIE_RICH_SCORINGS = [
     ("unit", [1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 0, -1, -1, -1, -1]),
     ("tieL2", [1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 0, -2, -2, -3, -1]),
 ]
-SCORINGS = REALISTIC_SCORINGS + TIE_RICH_SCORINGS
+# GENERIC: opening cheaper than extending (go > ge).  Here the reference
+# kernel's lazy-F loop early-exits after one pass (vF_ext >= vEF_opn can
+# never hold when go > ge, Processor.cpp:476-486), so gap re-opening
+# chains that cross >= 2 of its 16-lane stripes are silently truncated:
+# the reference computes LOWER scores than its own scoring model's
+# optimum (measured: ~half of fuzzed tiles).  striped_align reproduces
+# that artifact exactly; the production kernels compute the exact
+# two-piece recurrence instead (scores >= the reference's) — documented
+# in docs/ARCHITECTURE.md, out of scope for byte-identity (the
+# BASELINE.json bar is the default params.cfg).
+GENERIC_SCORINGS = [
+    ("generic", [2, -6, -6, -6, 2, -6, -6, 2, -6, 2, -1, -1, -5, -3, -9]),
+]
+SCORINGS = REALISTIC_SCORINGS + TIE_RICH_SCORINGS + GENERIC_SCORINGS
 
 ALPHA = b"ACGTNacgtn"
 
@@ -192,6 +205,7 @@ def test_simd_vs_oracles_fuzz(scoring):
     optimal + exact scores/positions on tie-rich scorings)."""
     name, p15 = scoring
     tie_rich = name in [s[0] for s in TIE_RICH_SCORINGS]
+    generic = name in [s[0] for s in GENERIC_SCORINGS]
     rng = np.random.default_rng(hash(name) % 2**31)
     dram = _rand_dram(rng, 4096)
     rk.set_scoring(LIB, p15)
@@ -203,6 +217,11 @@ def test_simd_vs_oracles_fuzz(scoring):
             ours = _oracle_result(dram, req, p15, do_traceback, "striped")
             _check_one(ref, ours, req, do_traceback, ("striped",) + ctx)
             ours = _oracle_result(dram, req, p15, do_traceback, "clean")
+            if generic:
+                # the exact recurrence can only improve on the reference's
+                # truncated re-opening chains (see GENERIC_SCORINGS note)
+                assert ours["score"] >= ref["score"], ctx
+                continue
             if not tie_rich:
                 _check_one(ref, ours, req, do_traceback, ("clean",) + ctx,
                            ub_fallback=(dram, p15))

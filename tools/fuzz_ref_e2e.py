@@ -71,8 +71,13 @@ def _make_reads(store, rng, interpret: bool):
     reads = []
     seed = int(rng.integers(0, 2**31))
     lengths = rng.integers(600, max_len, size=n)
+    # interpret mode: low error keeps 1984-wide large-tile escalations
+    # (minutes each under interpret kernels) rare; the lax runs keep the
+    # default long-read error profile
+    error = (0.015, 0.01, 0.01) if interpret else (0.04, 0.03, 0.03)
     for i, (nm, s, _) in enumerate(
-            simulate_reads(store, n, int(lengths.max()), seed=seed)):
+            simulate_reads(store, n, int(lengths.max()), seed=seed,
+                           error=error)):
         reads.append((f"r{i}_{nm}", s[:int(lengths[i])]))
     # SV reads force 1984-wide large-tile escalation — far too slow for
     # interpret-mode kernels, so only the compiled (lax) runs get them
@@ -101,14 +106,22 @@ def main():
     ap.add_argument("--scoring", choices=("default", "generic"),
                     default="default",
                     help="generic = opening cheaper than extending (both "
-                         "gap lanes), the scoring family outside the "
-                         "prefix-max domain — routes the lax kernel "
-                         "through the max-plus scan and the Pallas "
-                         "kernel through its generic closed form")
+                         "gap lanes).  The reference kernel TRUNCATES gap "
+                         "re-opening chains there (lazy-loop early exit, "
+                         "tests/test_ref_parity.py GENERIC_SCORINGS note), "
+                         "so the baseline switches from the reference "
+                         "binary to our own lax backend: the run checks "
+                         "that the pallas dispatch path reproduces the "
+                         "lax path byte-for-byte under the generic "
+                         "closed form (requires --backend "
+                         "pallas-interpret)")
     ap.add_argument("--workdir", default="/tmp/fuzz_ref")
     args = ap.parse_args()
 
     interpret = args.backend == "pallas-interpret"
+    if args.scoring == "generic" and not interpret:
+        ap.error("--scoring generic needs --backend pallas-interpret "
+                 "(the reference binary is not a valid generic baseline)")
     if interpret:
         os.environ["DARWIN_TPU_PALLAS_INTERPRET"] = "1"
         os.environ["DARWIN_TPU_KERNEL"] = "pallas"
@@ -121,9 +134,14 @@ def main():
     import ref_binary as rb
     from darwin_tpu.io.fasta import load_genome
     from darwin_tpu.ops.dispatch import use_pallas
-    use_pallas.cache_clear()
 
-    rb.build()
+    def with_backend(backend):
+        os.environ["DARWIN_TPU_KERNEL"] = backend
+        use_pallas.cache_clear()
+
+    use_pallas.cache_clear()
+    if args.scoring != "generic":
+        rb.build()
     store = load_genome(REF)
     os.makedirs(args.workdir, exist_ok=True)
     import re
@@ -162,8 +180,15 @@ def main():
         modes = {"sam": [False], "mhap": [True],
                  "both": [False, True]}[args.mode]
         for overlap in modes:
-            ref_out = rb.run(REF, fa, overlap, args.workdir)
-            our_out = _our_cli(REF, fa, overlap, args.workdir)
+            if args.scoring == "generic":
+                # baseline = our own lax backend (see --scoring help)
+                with_backend("lax")
+                ref_out = _our_cli(REF, fa, overlap, args.workdir)
+                with_backend("pallas")
+                our_out = _our_cli(REF, fa, overlap, args.workdir)
+            else:
+                ref_out = rb.run(REF, fa, overlap, args.workdir)
+                our_out = _our_cli(REF, fa, overlap, args.workdir)
             if ref_out == our_out:
                 continue
             # adjudicate: the reference's stripe-geometry tie-breaks can
