@@ -32,9 +32,16 @@ _NT = {"A": 0, "C": 1, "G": 2, "T": 3}
 
 
 def gap_cost(length: int, go: int, ge: int, goL: int, geL: int) -> int:
-    """Two-piece affine cost of one gap run (best lane for the whole
-    run, the model the reference scores under)."""
-    return max(go + ge * (length - 1), goL + geL * (length - 1))
+    """Best two-piece affine cost of one gap run, INCLUDING lane switches
+    and re-opening at interior gap cells (the DP recurrence reads H at
+    every cell, and inside a pure gap run H equals the gap value, so
+    E = max(H+go, E+ge) can re-open mid-run — decisive when open costs
+    less than extend).  Tiny 2-state DP over the run."""
+    s, lg = go, goL
+    for _ in range(length - 1):
+        best = s if s >= lg else lg
+        s, lg = max(s + ge, best + go), max(lg + geL, best + goL)
+    return max(s, lg)
 
 
 def sam_alignment_score(pos0: int, cigar: str, seq: str, ref: str,
@@ -126,34 +133,80 @@ def classify_sam(ref_text: str, our_text: str, genome_fasta: str,
     return res
 
 
-def classify_mhap(ref_text: str, our_text: str, max_d_matches: int = 64,
+def aligned_pair_score(ar: str, aq: str, sub5: np.ndarray, go: int,
+                       ge: int, goL: int, geL: int) -> int:
+    """Score an aligned string pair (gap char '-') column by column under
+    the two-piece model."""
+    if len(ar) != len(aq):
+        raise ValueError("aligned strings of different lengths")
+    total = 0
+    i = 0
+    n = len(ar)
+    while i < n:
+        a, b = ar[i], aq[i]
+        if a != "-" and b != "-":
+            total += int(sub5[_NT.get(a.upper(), 4), _NT.get(b.upper(), 4)])
+            i += 1
+            continue
+        gap_in_ref = a == "-"
+        j = i
+        while j < n and ((ar[j] == "-") if gap_in_ref else (aq[j] == "-")):
+            j += 1
+        total += gap_cost(j - i, go, ge, goL, geL)
+        i = j
+    return total
+
+
+def classify_mhap(ref_text: str, our_text: str, cfg=None,
+                  max_d_matches: int = 64,
                   max_d_error: float = 0.02) -> dict:
-    """MHAP records carry no CIGAR, so a tie-divergent path surfaces only
-    as a slightly different shared-match count / error rate with identical
-    coordinates.  A pair is tie-equivalent when every coordinate/strand/
-    length field matches and the error and match-count fields differ
-    within the given bounds (a genuinely wrong overlap moves coordinates
-    or blows the error up, not a few counts)."""
+    """Overlap-mode output is 6-line record blocks (header, aligned_ref,
+    aligned_query, reverse header, aligned_query, aligned_ref;
+    printer.cpp:141-176) — a tie-divergent traceback shifts the aligned
+    strings and nudges the shared-match count, with identical
+    coordinates.  A divergent block is tie-equivalent when every
+    coordinate/strand/length field matches, the error/match-count deltas
+    are small, and (when a Config is given) BOTH sides' aligned string
+    pairs rescore identically under the two-piece model."""
     res = {"hard": [], "tie_equivalent": 0, "identical": 0}
     a_lines = ref_text.splitlines()
     b_lines = our_text.splitlines()
-    if len(a_lines) != len(b_lines):
+    if len(a_lines) != len(b_lines) or len(a_lines) % 6:
         res["hard"].append((f"<{len(a_lines)} lines>",
                             f"<{len(b_lines)} lines>"))
         return res
-    for a, b in zip(a_lines, b_lines):
-        if a == b:
+    if cfg is not None:
+        sub5 = np.asarray(cfg.sub_matrix_5x5, np.int64)
+        gaps = (cfg.gap_open, cfg.gap_extend,
+                cfg.long_gap_open, cfg.long_gap_extend)
+    for k in range(0, len(a_lines), 6):
+        ba, bb = a_lines[k:k + 6], b_lines[k:k + 6]
+        if ba == bb:
             res["identical"] += 1
             continue
-        fa, fb = a.split(), b.split()
-        # fields: r1 r2 error matches strand s e len strand s e len
-        ok = (len(fa) == len(fb) == 12
+        fa, fb = ba[0].split(), bb[0].split()
+        fa2, fb2 = ba[3].split(), bb[3].split()
+        # header fields: r1 r2 error matches strand s e len strand s e len
+        ok = (len(fa) == len(fb) == 12 and len(fa2) == len(fb2) == 12
               and all(fa[i] == fb[i] for i in (0, 1, 4, 5, 6, 7, 8, 9,
                                                10, 11))
+              and all(fa2[i] == fb2[i] for i in (0, 1, 4, 5, 6, 7, 8, 9,
+                                                 10, 11))
               and abs(int(fa[3]) - int(fb[3])) <= max_d_matches
-              and abs(float(fa[2]) - float(fb[2])) <= max_d_error)
+              and abs(float(fa[2]) - float(fb[2])) <= max_d_error
+              # block self-consistency: lines 4/5 mirror 1/2
+              and ba[4] == ba[2] and ba[5] == ba[1]
+              and bb[4] == bb[2] and bb[5] == bb[1])
+        if ok and cfg is not None:
+            try:
+                sa = aligned_pair_score(ba[1], ba[2], sub5, *gaps)
+                sb = aligned_pair_score(bb[1], bb[2], sub5, *gaps)
+            except ValueError:
+                ok = False
+            else:
+                ok = sa == sb
         if ok:
             res["tie_equivalent"] += 1
         else:
-            res["hard"].append((a, b))
+            res["hard"].append((ba[0], bb[0]))
     return res

@@ -44,10 +44,6 @@ TILE_R = (
     "ATTGATGTTGACTCGGTACCTTGTCGTGAAAATGGAGATGAAGATGGCTTAACTGGTGTCAGTG")
 
 
-def _codes(s):
-    return np.frombuffer(s.encode(), np.uint8)
-
-
 def _nt(s):
     return np.array([{"A": 0, "C": 1, "G": 2, "T": 3}[c] for c in s],
                     np.int32)
@@ -131,6 +127,45 @@ def test_rescore_classifier_units():
         assert cls3 == {"hard": [], "tie_equivalent": 0, "identical": 1}
 
 
+def test_gap_cost_reopening():
+    """The run-cost model must include mid-run re-opening and lane
+    switches — decisive for open-cheaper-than-extend scorings."""
+    from darwin_tpu.utils.rescore import gap_cost
+    # standard params: pure lanes are optimal (short for 1, long for 139)
+    assert gap_cost(1, -4, -2, -25, -1) == -4
+    assert gap_cost(139, -4, -2, -25, -1) == -25 - 138
+    # generic params: re-opening the short lane each base wins
+    assert gap_cost(3, -1, -5, -3, -9) == -3
+    assert gap_cost(10, -1, -5, -3, -9) == -10
+
+
+def test_classify_mhap_blocks():
+    """Overlap records are 6-line blocks; a tie-divergent block (shifted
+    aligned strings, equal rescore, coords equal) is tie-equivalent and a
+    genuinely different alignment is hard."""
+    from darwin_tpu.utils.rescore import classify_mhap
+    cfg = Config()
+
+    def block(ar, aq, matches, err):
+        h1 = f"c r {err:.3f} {matches} 0 1 8 100 0 1 8 100"
+        h2 = f"r c {err:.3f} {matches} 0 1 8 100 0 1 8 100"
+        return [h1, ar, aq, h2, aq, ar]
+
+    # same alignment, gap shifted one column within an AA run: rescores
+    # equal (all-match columns + the same 1-gap)
+    a = "\n".join(block("AAAA-CCC", "AAAAACCC", 7, 0.125)) + "\n"
+    b = "\n".join(block("AAA-ACCC", "AAAAACCC", 7, 0.125)) + "\n"
+    cls = classify_mhap(a, b, cfg)
+    assert cls["hard"] == [] and cls["tie_equivalent"] == 1
+    # a substitution instead of the gap scores differently -> hard
+    c = "\n".join(block("AAAAGCCC", "AAAAACCC", 7, 0.125)) + "\n"
+    cls2 = classify_mhap(a, c, cfg)
+    assert len(cls2["hard"]) == 1
+    # identical blocks
+    cls3 = classify_mhap(a, a, cfg)
+    assert cls3 == {"hard": [], "tie_equivalent": 0, "identical": 1}
+
+
 @pytest.mark.slow
 def test_fuzz_iteration_that_found_the_tie():
     """The exact fuzz iteration that uncovered the tie class (seed 3014,
@@ -140,6 +175,14 @@ def test_fuzz_iteration_that_found_the_tie():
     import os
     import subprocess
     import sys
+
+    import ref_binary as rb
+    try:
+        ok = rb.build() is not None
+    except Exception:
+        ok = False
+    if not ok:
+        pytest.skip("reference binary not buildable here")
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu",

@@ -108,7 +108,7 @@ def main():
                 # surface in MHAP as a tiny match-count/error delta with
                 # identical coordinates and are not a mismatch
                 from darwin_tpu.utils.rescore import classify_mhap
-                cls = classify_mhap(ref_out, ours)
+                cls = classify_mhap(ref_out, ours, Config())
                 if cls["hard"]:
                     res["subsample_check"] = "MISMATCH"
                     res["subsample_hard"] = len(cls["hard"])
