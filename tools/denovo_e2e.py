@@ -110,7 +110,18 @@ def main():
                 from darwin_tpu.utils.rescore import classify_mhap
                 cls = classify_mhap(ref_out, ours, Config())
                 if cls["hard"]:
-                    res["subsample_check"] = "MISMATCH"
+                    # an equal-score tile tie can reroute the greedy
+                    # tiling (different coords/strings downstream); the
+                    # tile-level audit decides whether every tile we
+                    # issued was exact-or-pinned-tie vs the ref kernel
+                    import tile_audit
+                    aud = tile_audit.audit(sub_fa, sub_fa, Config(),
+                                           do_overlap=True)
+                    res["subsample_tile_audit"] = {
+                        k: aud[k] for k in ("tiles", "exact", "tie",
+                                            "hard")}
+                    res["subsample_check"] = (
+                        "tie_cascade" if aud["hard"] == 0 else "MISMATCH")
                     res["subsample_hard"] = len(cls["hard"])
                 else:
                     res["subsample_check"] = "tie_equivalent"

@@ -177,6 +177,7 @@ def main():
     t0 = time.time()
     done = 0
     ties = 0
+    cascades = 0
     for it in range(args.iters):
         rng = np.random.default_rng(args.seed0 + it)
         reads = _make_reads(store, rng, interpret)
@@ -208,6 +209,22 @@ def main():
                 # rescoring is a bug
                 cls = (classify_mhap(ref_out, our_out, cfg) if overlap
                        else classify_sam(ref_out, our_out, REF, cfg))
+            if cls["hard"] and args.scoring == "default":
+                # last adjudication level: an equal-score tile tie can
+                # send the greedy tiling down a different route whose
+                # FINAL score differs (tie cascade).  Replay every tile
+                # this read set issued against the reference kernel; the
+                # divergence is legitimate iff all tiles are exact or
+                # pinned ties (tools/tile_audit.py)
+                sys.path.insert(0, os.path.dirname(
+                    os.path.abspath(__file__)))
+                import tile_audit
+                aud = tile_audit.audit(REF, fa, cfg, do_overlap=overlap)
+                print(f"iter {it}: output diverged; tile audit: {aud}",
+                      file=sys.stderr)
+                if aud["hard"] == 0 and aud["tie"] > 0:
+                    cascades += 1
+                    cls = {"hard": [], "tie_equivalent": 0}
             if cls["hard"]:
                 tag = f"{it}_{'mhap' if overlap else 'sam'}"
                 open(os.path.join(args.workdir, f"ref_{tag}.out"),
@@ -229,6 +246,7 @@ def main():
     print(json.dumps({"ok": True, "iters": done, "mode": args.mode,
                       "backend": args.backend, "scoring": args.scoring,
                       "tie_equivalent_lines": ties,
+                      "tie_cascades": cascades,
                       "seconds": round(time.time() - t0, 1)}))
     return 0
 
