@@ -206,26 +206,41 @@ def build_seed_table(store: GenomeStore, cfg,
     if method in ("device", "stream"):
         seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded,
                  c.start) for c in store.chromosomes]
-        if method == "device":
-            sh, sp = scan_sorted_pairs_device(seqs, k, w)
-        else:
-            # streaming build: ~8 B of HBM per emitted seed; the cap is an
-            # estimate (expected minimizer density 2/(w+1)) with a lossless
-            # doubling retry — repeat-heavy genomes emit up to ~1/w
-            cap = int(store.size * 2.4 / (w + 1)) + (1 << 22)
-            while True:
-                sh, sp, n = scan_sorted_pairs_streaming(seqs, k, w, cap)
-                if n >= 0:
-                    break
-                cap = max(2 * cap, -n + (1 << 22))
-        return SeedTable(
-            sorted_hashes=sh,
-            positions=sp,
-            kmer_size=k,
-            minimizer_window=w,
-            ref_size=store.size,
-            kmer_max_occurence=cfg.kmer_max_occurence(store.size),
-        )
+        try:
+            if method == "device":
+                sh, sp = scan_sorted_pairs_device(seqs, k, w)
+            else:
+                # streaming build: ~8 B of HBM per emitted seed; the cap is
+                # an estimate (expected minimizer density 2/(w+1)) with a
+                # lossless doubling retry — repeat-heavy genomes emit up
+                # to ~1/w
+                cap = int(store.size * 2.4 / (w + 1)) + (1 << 22)
+                while True:
+                    sh, sp, n = scan_sorted_pairs_streaming(seqs, k, w, cap)
+                    if n >= 0:
+                        break
+                    cap = max(2 * cap, -n + (1 << 22))
+            return SeedTable(
+                sorted_hashes=sh,
+                positions=sp,
+                kmer_size=k,
+                minimizer_window=w,
+                ref_size=store.size,
+                kmer_max_occurence=cfg.kmer_max_occurence(store.size),
+            )
+        except Exception as e:  # device OOM -> lossless host fallback
+            # The pairs build's sort transient (~16 B/seed with the sort's
+            # double buffer, beside the resident genome) can exceed HBM on
+            # multi-Gbp genomes; the host argsort produces the identical
+            # table, just slower.  The csr layout (--index-layout csr)
+            # avoids the transient entirely and halves the resident table.
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            import sys
+            sys.stderr.write(
+                "[darwin_tpu] device seed-table build exhausted HBM; "
+                "falling back to the host build (identical output). "
+                "Consider --index-layout csr for genomes this large.\n")
     all_hashes = []
     all_pos = []
     seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded)

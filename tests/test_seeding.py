@@ -532,3 +532,40 @@ def test_streaming_builds_past_int32_chromosome_starts(rng):
     for h in sorted(set(h for h, _ in want)):
         got_csr.extend((h, int(p)) for p in pos[offs[h]:offs[h + 1]])
     assert got_csr == want
+
+
+def test_pairs_build_oom_falls_back_to_host(rng, monkeypatch):
+    """A device RESOURCE_EXHAUSTED during the pairs build (the 3.2 Gbp
+    w=9 streaming sort transient can exceed HBM beside the resident
+    genome) must fall back to the host argsort build losslessly — same
+    table, no raw backend error escaping build_seed_table."""
+    from darwin_tpu.config import Config
+    from darwin_tpu.genome import GenomeStore
+    from darwin_tpu.index import seed_table as st
+
+    store = GenomeStore()
+    seq = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 40_000)]
+    store.add_chromosome("c0", seq)
+    store.finalize()
+    cfg = Config()
+    want = st.build_seed_table(store, cfg, method="host")
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    monkeypatch.setattr(st, "scan_sorted_pairs_device", boom)
+    monkeypatch.setattr(st, "scan_sorted_pairs_streaming", boom)
+    for method in ("device", "stream"):
+        got = st.build_seed_table(store, cfg, method=method)
+        np.testing.assert_array_equal(np.asarray(got.sorted_hashes),
+                                      np.asarray(want.sorted_hashes))
+        np.testing.assert_array_equal(np.asarray(got.positions),
+                                      np.asarray(want.positions))
+
+    # non-OOM device errors must still propagate
+    def other(*a, **k):
+        raise RuntimeError("INTERNAL: something else")
+
+    monkeypatch.setattr(st, "scan_sorted_pairs_device", other)
+    with pytest.raises(RuntimeError, match="INTERNAL"):
+        st.build_seed_table(store, cfg, method="device")
