@@ -29,6 +29,32 @@ from darwin_tpu.index.minimizers import (build_csr_streaming,
                                          scan_sorted_pairs_device,
                                          scan_sorted_pairs_streaming)
 
+def _is_oom(e: BaseException) -> bool:
+    """Device/host out-of-memory test for the lossless build fallbacks.
+
+    Narrowed to the runtime error types that actually carry OOM (the JAX
+    backend's XlaRuntimeError / jaxlib errors and host MemoryError) so an
+    unrelated exception whose chained message happens to mention
+    RESOURCE_EXHAUSTED is not silently masked behind a slow rebuild."""
+    if isinstance(e, MemoryError):
+        return True
+    name = type(e).__name__
+    if name not in ("XlaRuntimeError", "JaxRuntimeError", "RuntimeError"):
+        return False
+    msg = str(e)
+    return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+
+
+def _csr_hint(k: int) -> str:
+    """Actionable advice for HBM-exhausted pairs builds: csr only exists
+    for 2k <= 28 (the 4^k offset array), so do not send k=15 users into a
+    ValueError."""
+    if 2 * k <= 28:
+        return "  Consider --index-layout csr for genomes this large."
+    return ("  (csr layout needs seed_size <= 14; at this k the host-"
+            "resident pairs build is the fallback.)")
+
+
 # all-candidates device build gate: the on-device pair sort transiently
 # holds ~8 bytes per SCANNED position; past this the streaming build takes
 # over (~8 bytes per EMITTED seed — scan_sorted_pairs_streaming), which
@@ -234,13 +260,12 @@ def build_seed_table(store: GenomeStore, cfg,
             # multi-Gbp genomes; the host argsort produces the identical
             # table, just slower.  The csr layout (--index-layout csr)
             # avoids the transient entirely and halves the resident table.
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            if not _is_oom(e):
                 raise
             import sys
             sys.stderr.write(
                 "[darwin_tpu] device seed-table build exhausted HBM; "
-                "falling back to the host build (identical output). "
-                "Consider --index-layout csr for genomes this large.\n")
+                f"falling back to the host build (identical output).{_csr_hint(k)}\n")
     all_hashes = []
     all_pos = []
     seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded)
@@ -253,9 +278,27 @@ def build_seed_table(store: GenomeStore, cfg,
     pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
     key = (hashes.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
     order = np.argsort(key, kind="stable")
+    try:
+        # the resident table (8 B/seed) must still fit beside the genome;
+        # for genomes that already exhausted HBM in the device build this
+        # second allocation can OOM too — turn that into actionable advice
+        # instead of a raw backend error escaping build_seed_table
+        sh = jnp.asarray(hashes[order])
+        sp = jnp.asarray(pos[order])
+        import jax
+        jax.block_until_ready((sh, sp))
+    except Exception as e:
+        if not _is_oom(e):
+            raise
+        raise RuntimeError(
+            "[darwin_tpu] the seed table itself does not fit device HBM "
+            f"({hashes.size / 1e6:.0f} M seeds x 8 B beside the genome)."
+            f"{_csr_hint(k)}  A hash-sharded index over a multi-chip mesh "
+            "(Aligner(shard_index=True)) removes the single-chip bound."
+        ) from e
     return SeedTable(
-        sorted_hashes=jnp.asarray(hashes[order]),
-        positions=jnp.asarray(pos[order]),
+        sorted_hashes=sh,
+        positions=sp,
         kmer_size=k,
         minimizer_window=w,
         ref_size=store.size,
