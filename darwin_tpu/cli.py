@@ -21,10 +21,17 @@ def main(argv=None):
     index_cache = None
     profile_dir = None
     layout = None     # accept a cached table's layout; build pairs anew
+    mesh = None       # auto: all local TPU chips (align._resolve_mesh)
+    shard_index = False
     rest = []
     for a in argv:
         if a.startswith("--index-cache="):
             index_cache = a.split("=", 1)[1]
+        elif a.startswith("--mesh="):
+            v = a.split("=", 1)[1]
+            mesh = v if v in ("auto", "off") else int(v)
+        elif a == "--shard-index":
+            shard_index = True
         elif a.startswith("--index-layout="):
             layout = a.split("=", 1)[1]
             if layout not in ("pairs", "csr"):
@@ -43,7 +50,8 @@ def main(argv=None):
     if len(rest) < 3:
         print("Usage: python -m darwin_tpu.cli <REFERENCE>.fasta "
               "<READS>.fasta OVERLAP(0/1) [--index-cache=FILE.npz] "
-              "[--index-layout=pairs|csr] "
+              "[--index-layout=pairs|csr] [--mesh=auto|off|N] "
+              "[--shard-index] "
               "[--profile=DIR] [--platform=cpu|tpu]", file=sys.stderr)
         return 1
     ref_path, reads_path, overlap = rest[0], rest[1], bool(int(rest[2]))
@@ -61,7 +69,8 @@ def main(argv=None):
         ctx = contextlib.nullcontext()
     with ctx:
         run(ref_path, reads_path, overlap, cfg=cfg,
-            index_cache=index_cache, index_layout=layout)
+            index_cache=index_cache, index_layout=layout,
+            mesh=mesh, shard_index=shard_index)
     return 0
 
 

@@ -317,12 +317,23 @@ def _resume_carry(B: int, resume0, carry_prev):
         jnp.where(resume0 != 0, carry_prev, 0))
 
 
-def _packed_row_batches(seqs, k: int, w: int):
+def _packed_row_batches(seqs, k: int, w: int, packed_dev=None):
     """Shared streaming-build work list: yield (CROWS, CL) row batches as
     device arrays — (rows, off, istart, iend, nvalid, first, resume0,
     goff) — covering every chromosome chunk in ascending global position
     order.  Used by both streaming builds (sorted pairs and csr); any fix
     to the halo/carry/packing semantics lands once, here.
+
+    packed_dev: optional device-resident 2-bit-packed GLOBAL genome
+    (ops/packed.device_packed).  When present, rows are gathered + unpacked
+    ON DEVICE from it (ops/packed.gather_rows at global position
+    chrom_start + local) instead of sliced on the host and uploaded —
+    round 3's csr build spent ~all of its 443 s at 3.2 Gbp re-streaming
+    the genome through the ~15 MB/s tunnel twice.  Row content is
+    identical for every position the scan can read (local slices are
+    global slices up to r16 - 1 < padded chromosome length; beyond iend
+    the emission mask makes the values inert — tests/test_packed_build.py
+    locks table equality).
 
     Fresh host buffers per batch: the streams never host-sync, so uploads
     may still be in flight when the next batch is packed.  ``goff``
@@ -343,9 +354,15 @@ def _packed_row_batches(seqs, k: int, w: int):
         for s in range(0, max(nvalid, 1), CHUNK):
             work.append((si, s))
 
+    if packed_dev is not None:
+        from darwin_tpu.ops.packed import gather_rows
+
     for base in range(0, len(work), CROWS):
         batch = work[base:base + CROWS]
-        rows_np = np.zeros((CROWS, CL), np.uint8)
+        if packed_dev is None:
+            rows_np = np.zeros((CROWS, CL), np.uint8)
+        else:
+            gstart = np.zeros(CROWS, np.uint32)
         off = np.zeros(CROWS, np.int32)
         istart = np.zeros(CROWS, np.int32)
         iend = np.zeros(CROWS, np.int32)
@@ -353,10 +370,13 @@ def _packed_row_batches(seqs, k: int, w: int):
         first = np.zeros(CROWS, np.int32)
         goff = np.zeros(CROWS, np.uint32)
         for i, (si, s) in enumerate(batch):
-            codes2 = seqs[si][0]
             o = max(s - halo, 0)
-            seg_ = codes2[o:o + CL]
-            rows_np[i, :len(seg_)] = seg_
+            if packed_dev is None:
+                codes2 = seqs[si][0]
+                seg_ = codes2[o:o + CL]
+                rows_np[i, :len(seg_)] = seg_
+            else:
+                gstart[i] = (seqs[si][2] + o) & 0xFFFFFFFF
             off[i] = o
             istart[i] = s
             iend[i] = min(s + CHUNK, nvalids[si])
@@ -365,7 +385,9 @@ def _packed_row_batches(seqs, k: int, w: int):
             if s == 0 or i == 0:
                 first[i] = 1
         resume0 = 1 if batch[0][1] != 0 else 0
-        yield (jnp.asarray(rows_np), jnp.asarray(off),
+        rows = (jnp.asarray(rows_np) if packed_dev is None else
+                gather_rows(packed_dev, jnp.asarray(gstart), CL))
+        yield (rows, jnp.asarray(off),
                jnp.asarray(istart), jnp.asarray(iend), jnp.asarray(nv),
                jnp.asarray(first), jnp.int32(resume0),
                jnp.asarray(goff.view(np.int32)))
@@ -410,7 +432,8 @@ def _chunk_scan_pairs_accum(rows, off, istart, iend, nvalid, first,
     return buf_h, buf_p, woff + nem, carry_out[B - 1], nem
 
 
-def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int):
+def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int,
+                                packed_dev=None):
     """Streaming device build for genomes past the all-candidates gate
     (DEVICE_BUILD_MAX_BASES): transient HBM is ~8 B per EMITTED seed (the
     accumulator) plus one row batch, instead of ~8 B per scanned position.
@@ -434,7 +457,7 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int):
     nems = []
 
     for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w):
+            in _packed_row_batches(seqs, k, w, packed_dev):
         buf_h, buf_p, woff, carry_prev, nem = _chunk_scan_pairs_accum(
             rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
             buf_h, buf_p, woff, k, w)
@@ -510,7 +533,7 @@ def _csr_fill_accum(rows, off, istart, iend, nvalid, first, resume0,
     return cursor, posbuf, carry_out[B - 1]
 
 
-def build_csr_streaming(seqs, k: int, w: int):
+def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
     """Streaming CSR seed-table build: (bucket_offsets, positions, n).
 
     Two passes over the genome (counts, then fill), each streaming 2 Mbp
@@ -535,7 +558,7 @@ def build_csr_streaming(seqs, k: int, w: int):
     carry_prev = jnp.int32(0)
     nems = []
     for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w):
+            in _packed_row_batches(seqs, k, w, packed_dev):
         counts, carry_prev, nem = _csr_count_accum(
             rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
             counts, n_buckets, k, w)
@@ -556,7 +579,7 @@ def build_csr_streaming(seqs, k: int, w: int):
     posbuf = jnp.zeros((max(n, 1),), jnp.uint32)
     carry_prev = jnp.int32(0)
     for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w):
+            in _packed_row_batches(seqs, k, w, packed_dev):
         cursor, posbuf, carry_prev = _csr_fill_accum(
             rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
             cursor, posbuf, k, w)
@@ -564,7 +587,7 @@ def build_csr_streaming(seqs, k: int, w: int):
     return offsets, posbuf[:n], n
 
 
-def scan_sorted_pairs_device(seqs, k: int, w: int):
+def scan_sorted_pairs_device(seqs, k: int, w: int, packed_dev=None):
     """Device-resident seed-table build: minimizer scan + (hash, position)
     sort without any per-position host round trip.
 
@@ -582,7 +605,7 @@ def scan_sorted_pairs_device(seqs, k: int, w: int):
     hs, ps, nems = [], [], []
     carry_prev = jnp.int32(0)
     for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w):
+            in _packed_row_batches(seqs, k, w, packed_dev):
         h, p, carry_prev, nem = _chunk_scan_pairs_resume(
             rows, off, istart, iend, nv, first, resume0, carry_prev,
             goff, k, w)

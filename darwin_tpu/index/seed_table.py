@@ -204,7 +204,10 @@ def build_seed_table(store: GenomeStore, cfg,
                 "pairs layout")
         seqs = [(store.codes2[c.start:c.start + c.length],
                  c.length_unpadded, c.start) for c in store.chromosomes]
-        offsets, positions, _n = build_csr_streaming(seqs, k, w)
+        from darwin_tpu.ops.packed import device_packed
+        packed_dev, _ = device_packed(store)
+        offsets, positions, _n = build_csr_streaming(
+            seqs, k, w, packed_dev=packed_dev)
         return SeedTable(
             sorted_hashes=None,
             positions=positions,
@@ -232,9 +235,12 @@ def build_seed_table(store: GenomeStore, cfg,
     if method in ("device", "stream"):
         seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded,
                  c.start) for c in store.chromosomes]
+        from darwin_tpu.ops.packed import device_packed
+        packed_dev, _ = device_packed(store)
         try:
             if method == "device":
-                sh, sp = scan_sorted_pairs_device(seqs, k, w)
+                sh, sp = scan_sorted_pairs_device(seqs, k, w,
+                                                  packed_dev=packed_dev)
             else:
                 # streaming build: ~8 B of HBM per emitted seed; the cap is
                 # an estimate (expected minimizer density 2/(w+1)) with a
@@ -242,7 +248,8 @@ def build_seed_table(store: GenomeStore, cfg,
                 # to ~1/w
                 cap = int(store.size * 2.4 / (w + 1)) + (1 << 22)
                 while True:
-                    sh, sp, n = scan_sorted_pairs_streaming(seqs, k, w, cap)
+                    sh, sp, n = scan_sorted_pairs_streaming(
+                        seqs, k, w, cap, packed_dev=packed_dev)
                     if n >= 0:
                         break
                     cap = max(2 * cap, -n + (1 << 22))

@@ -105,15 +105,15 @@ def _sharded_fn(mesh: Mesh, axis: str, k, w, num_seeds, max_stride,
         start, end = D._bucket_ranges(hashes_l, qhash, lut_l[0],
                                       lut_shift, lut_steps)
         cnt_global = jax.lax.psum(end - start, axis)
-        binf, offf, posf, okf, bucket_ok, total = D._bucket_hits_flat(
+        binf, offf, posf, _okf, bucket_ok, total = D._bucket_hits_flat(
             pos_l, offs, (start, end), cnt_global, slot_ok,
             max_occ, bin_size, hit_cap)
         # route hits to the read's owner: split the read axis, concatenate
-        # the hit axis (source-device order = hash order)
+        # the hit axis (source-device order = hash order).  Validity rides
+        # the bin sentinel, so only three buffers cross the mesh.
         binf = jax.lax.all_to_all(binf, axis, 0, 1, tiled=True)
         offf = jax.lax.all_to_all(offf, axis, 0, 1, tiled=True)
         posf = jax.lax.all_to_all(posf, axis, 0, 1, tiled=True)
-        okf = jax.lax.all_to_all(okf, axis, 0, 1, tiled=True)
         # bucket_ok/total depend only on psum'd or local-to-the-source
         # values; reduce to per-read globals identical on every device,
         # then take this device's read slice
@@ -124,7 +124,7 @@ def _sharded_fn(mesh: Mesh, axis: str, k, w, num_seeds, max_stride,
         nsh = jax.lax.psum(1, axis)
         me = jax.lax.axis_index(axis)
         tot = jax.lax.dynamic_slice_in_dim(tot, me * (B // nsh), B // nsh)
-        res = D._hits_post(binf, offf, posf, okf, nqb, k, threshold, a_cap,
+        res = D._hits_post(binf, offf, posf, nqb, k, threshold, a_cap,
                            D.sv_bins(bin_size, overlap))
         res["n_flat_raw"] = tot
         return res

@@ -90,13 +90,33 @@ class Aligner:
         same buffer serves both the filter and extension gathers), uploaded
         once per run."""
         if self._ref_codes is None:
-            from darwin_tpu.ops.dispatch import chunk_ref_codes
-            bases = np.concatenate(
-                [self.store.bases,
-                 np.full(4 * self.cfg.large_tile_long, ord("N"), np.uint8)])
-            codes = chunk_ref_codes(encode5(bases))
-            self._ref_codes = (self.mesh_dispatch.put_replicated(codes)
-                               if self.mesh_dispatch else jnp.asarray(codes))
+            margin = 4 * self.cfg.large_tile_long
+            if self.mesh_dispatch:
+                from darwin_tpu.ops.dispatch import chunk_ref_codes
+                bases = np.concatenate(
+                    [self.store.bases,
+                     np.full(margin, ord("N"), np.uint8)])
+                self._ref_codes = self.mesh_dispatch.put_replicated(
+                    chunk_ref_codes(encode5(bases)))
+            else:
+                # 2-bit packed genome upload (once, memoized on the store)
+                # + on-device decode into the chunk_ref_codes layout: 4x
+                # fewer tunnel bytes than the encode5 upload, identical
+                # buffer (tests/test_packed.py).  The margin rides the
+                # boundary list as one extra N run.
+                from darwin_tpu.ops import packed as PK
+                packed_dev, bounds_dev = PK.device_packed(self.store)
+                total = self.store.size + margin
+                # margin run extends to the top of the uint32 address
+                # space so the chunk-padding tail also reads as N (like
+                # chunk_ref_codes' pad fill); only masked lanes reach it
+                bounds = np.concatenate(
+                    [np.asarray(bounds_dev),
+                     [self.store.size, 0xFFFFFFFF]]).astype(np.uint32)
+                m = 1 << int(np.ceil(np.log2(bounds.shape[0] + 1)))
+                bounds = PK.pad_bounds(bounds, max(8, m))
+                self._ref_codes = PK.codes5_from_packed(
+                    packed_dev, jnp.asarray(bounds), total)
         return self._ref_codes
 
     def _filter_dispatch(self, reads, anchors_per_read, strand, counters,
@@ -248,12 +268,45 @@ def enable_compile_cache():
 
 
 
+def _resolve_mesh(mesh):
+    """run()'s mesh parameter -> a jax.sharding.Mesh or None.
+
+    None/'auto' uses every local device when the backend is a real
+    multi-chip TPU host (power-of-two count) — the analog of the
+    reference's use-all-host-parallelism default
+    (software/params.cfg:41-42, 48 TBB tokens).  Virtual CPU device
+    fleets (test harnesses) stay single-device unless a mesh is requested
+    explicitly: mesh=N builds one over the first N devices; mesh='off'/0/1
+    forces single-device; a prebuilt Mesh passes through."""
+    from jax.sharding import Mesh as _Mesh
+    if isinstance(mesh, _Mesh):
+        return mesh
+    if mesh in ("off", 0, 1):
+        return None
+    import jax
+    from darwin_tpu.parallel.shard import make_mesh
+    if mesh in (None, "auto"):
+        devs = jax.local_devices()
+        if len(devs) > 1 and devs[0].platform == "tpu":
+            n = 1 << (len(devs).bit_length() - 1)   # power-of-two floor
+            return make_mesh(n)
+        return None
+    n = int(mesh)
+    if n < 2:
+        return None
+    if len(jax.devices()) < n:
+        raise ValueError(
+            f"mesh={n} needs {n} devices, have {len(jax.devices())}")
+    return make_mesh(n)
+
+
 def run(ref_path: str, reads_path: str, do_overlap: bool,
         cfg: Config | None = None, out=None, err=None,
         reads_per_batch: int = 128, index_cache: str | None = None,
         pipeline_depth: int = 2,
         reads_range: tuple[int, int] | None = None,
-        index_layout: str | None = None) -> dict:
+        index_layout: str | None = None,
+        mesh=None, shard_index: bool = False) -> dict:
     """pipeline_depth: read batches in flight (the TPU analog of the
     reference's token-throttled TBB flow graph, software/main.cpp:607-624);
     batch i+1's device dispatches overlap batch i's host-side decode and
@@ -267,7 +320,14 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
 
     index_layout: 'pairs' or 'csr' forces that seed-table layout (a cached
     index of the other layout is rebuilt); None (default) accepts whatever
-    layout a valid cache holds and builds 'pairs' otherwise."""
+    layout a valid cache holds and builds 'pairs' otherwise.
+
+    mesh: single-host multi-chip — None/'auto' uses all local TPU chips
+    when more than one is present, 'off' forces one chip, N or a prebuilt
+    jax.sharding.Mesh selects explicitly (see _resolve_mesh).  Output is
+    bit-identical across mesh configurations (tests/test_mesh_pipeline).
+    shard_index additionally hash-shards the seed table across the mesh
+    (tables beyond one chip's HBM; requires the pairs layout)."""
     if index_layout not in (None, "pairs", "csr"):
         raise ValueError(f"unknown index layout {index_layout!r}")
     from darwin_tpu.ops.dispatch import rec_bits
@@ -321,7 +381,12 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
             print(f"index cache {index_cache} does not match the "
                   "reference/config; rebuilding", file=err)
             table = None
-    aligner = Aligner(cfg, store, table=table,
+    mesh_obj = _resolve_mesh(mesh)
+    if mesh_obj is not None:
+        print(f"[darwin_tpu] mesh: {len(mesh_obj.devices.flat)} devices"
+              f"{' (sharded index)' if shard_index else ''}", file=err)
+    aligner = Aligner(cfg, store, table=table, mesh=mesh_obj,
+                      shard_index=shard_index,
                       index_layout=index_layout or "pairs")
     if index_cache is not None and table is None:
         aligner.table.save(index_cache)

@@ -454,12 +454,27 @@ class ExtensionManager:
                 offsets[(i, strand)] = pos
                 pos += len(padded)
         self.q_code_start = offsets
-        from darwin_tpu.genome import encode5
         allq = np.concatenate(bufs) if bufs else np.zeros(1, np.uint8)
         self.q_ascii = allq          # batched decode indexes it by offset
-        q = encode5(allq)
-        self.q_codes_dev = (self.mesh.put_replicated(q) if self.mesh
-                            else jnp.asarray(q))
+        if self.mesh is not None:
+            from darwin_tpu.genome import encode5
+            self.q_codes_dev = self.mesh.put_replicated(encode5(allq))
+        else:
+            # 2-bit packed upload + on-device decode: the tunnel moves
+            # ~15 MB/s, so shipping 1-byte codes (read + RC + N margins per
+            # strand) was 22% of the 3.2 Gbp align phase; packed bytes are
+            # 4x smaller and codes5_from_packed rebuilds the identical
+            # buffer on chip (the N margins ride the boundary list).
+            # Matches the reference's upload-once DRAM seam
+            # (software/sender.cpp:4-97).
+            from darwin_tpu.genome import encode2
+            from darwin_tpu.ops import packed as PK
+            pk = PK.pack2(encode2(allq))
+            bounds = PK.n_boundaries(allq)
+            m = max(8, 1 << int(np.ceil(np.log2(bounds.shape[0] + 1))))
+            bounds = PK.pad_bounds(bounds, m)
+            self.q_codes_dev = PK.codes5_from_packed(
+                jnp.asarray(pk), jnp.asarray(bounds), len(allq))
 
     def _ref_dev(self):
         if self.ref_codes_dev is None:
@@ -569,6 +584,7 @@ class ExtensionManager:
                 if r is None:
                     r = exts[ei].request(cfg, counters)
                 reqs.setdefault(r[5], []).append((ei, r))
+            t0 = mark("extend_req", t0)
             finished = []
             # phase 1: enqueue every tile-shape group's device program
             # (async) so each group's fetch/decode overlaps the others'
@@ -599,6 +615,7 @@ class ExtensionManager:
                     clen[b] = e.ref_len
                     qbuf0[b] = e.q_code_start
                     qlen[b] = e.q_len
+                t0 = mark("extend_pack", t0)
                 if self.mesh:
                     if spec_ok and (rt, qt) == (T, T):
                         # per-device speculative chains (no communication)
@@ -608,6 +625,7 @@ class ExtensionManager:
                             qlen, self.params, qt=qt, rt=rt, max_tb=2 * T,
                             stop_thr=min(rt, qt) - cfg.tile_overlap)
                         rounds.append((items, resolve, rev))
+                        t0 = mark("extend_enqueue", t0)
                         continue
                     resolve = self.mesh.extend_tiles_async(
                         refc, self.q_codes_dev, r_start, r_size, q_start,
@@ -631,6 +649,7 @@ class ExtensionManager:
                         q_size, rev, self.params,
                         qt=qt, rt=rt, max_tb=2 * cfg.tile_size)
                     rounds.append((items, resolve, rev))
+                t0 = mark("extend_enqueue", t0)
             t0 = mark("extend_dispatch", t0)
             for items, resolve, rev in rounds:
                 t0 = _t()

@@ -195,18 +195,21 @@ def sv_bins(bin_size: int, overlap: bool) -> int:
     return 1 if overlap else (1 << 12) // bin_size
 
 
-def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
+def _hits_post(binf, offf, posf, n_queried_buckets, k, threshold,
                a_cap, sv):
     """Sort hits, run the per-bin unique-base count, compact anchors, and
     prune hits to the union of anchor bin windows.  Pure function of the
     (unordered-by-bin) hit buffers — shared by the replicated and
-    hash-sharded paths."""
+    hash-sharded paths.  Hit validity is the bin sentinel (invalid slots
+    carry bin == 0xFFFFFFFF, _bucket_hits_flat)."""
     B, H = binf.shape
     # stable sort by (bin, offset); equal pairs keep insertion order
     # (minimizer ordinal, bucket slot) like std::stable_sort on the packed
-    # key (software/seed_pos_table.cpp:337,42-45)
-    sbin, soff, spos, sok = jax.lax.sort(
-        (binf, offf, posf, okf), num_keys=2, is_stable=True)
+    # key (software/seed_pos_table.cpp:337,42-45).  Validity rides the bin
+    # sentinel (0xFFFFFFFF is unreachable by valid bins), so the sort moves
+    # three operands, not four.
+    sbin, soff, spos = jax.lax.sort(
+        (binf, offf, posf), num_keys=2, is_stable=True)
 
     # ---- per-bin counting (software/seed_pos_table.cpp:352-389) ----
     # "no previous bin" sentinel: all-ones, unreachable by valid bins
@@ -214,7 +217,7 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
         [jnp.full((B, 1), 0xFFFFFFFF, jnp.uint32), sbin[:, :-1]], axis=1)
     prev_off = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), soff[:, :-1]], axis=1)
-    valid = sok == 1
+    valid = sbin != jnp.uint32(0xFFFFFFFF)
     first = valid & (sbin != prev_bin)
     delta = soff - prev_off
     inc = jnp.where(first, k, jnp.minimum(delta, k)) * valid
@@ -223,11 +226,19 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
     s = c - base
     cross = valid & (s >= threshold) & ((s - inc) < threshold)
 
-    # compact anchors (bin-ascending order preserved)
-    aidx = jnp.arange(H, dtype=jnp.int32)[None, :].repeat(B, 0)
-    akey = jnp.where(cross, aidx, I32MAX)
-    akey_s, apos, aoff, abin = jax.lax.sort(
-        (akey, spos, soff, sbin), num_keys=1, is_stable=True)
+    # compact anchors (bin-ascending order preserved): scatter each
+    # crossing slot to its dense rank — targets are unique per row, so a
+    # linear scatter replaces the (B, H) 4-operand compaction sort
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    ac = min(a_cap, H)          # anchor buffers cannot exceed the hit width
+    acum = jnp.cumsum(cross.astype(jnp.int32), axis=1) - 1
+    atgt = jnp.where(cross & (acum < ac), acum, ac)
+    apos = jnp.zeros((B, ac + 1), spos.dtype).at[rows, atgt].set(
+        spos)[:, :ac]
+    aoff = jnp.zeros((B, ac + 1), soff.dtype).at[rows, atgt].set(
+        soff)[:, :ac]
+    abin = jnp.full((B, ac + 1), 0xFFFFFFFF, sbin.dtype).at[rows, atgt].set(
+        sbin)[:, :ac]
     n_anchors = jnp.sum(cross.astype(jnp.int32), axis=1)
 
     # ---- prune hits to the union of anchor bin windows ----
@@ -241,11 +252,10 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
     # uint32 throughout (x64 is disabled): valid bins are <= 2^32-2, the
     # all-ones sentinel marks the anchor tail, and the +-sv window edges
     # saturate (saturation only over-keeps, which is inert).
-    ac = min(a_cap, H)          # anchor buffers cannot exceed the hit width
     n_anc_c = jnp.minimum(n_anchors, ac)
     anc_b = jnp.where(
         jnp.arange(ac, dtype=jnp.int32)[None, :] < n_anc_c[:, None],
-        abin[:, :ac], jnp.uint32(0xFFFFFFFF))
+        abin, jnp.uint32(0xFFFFFFFF))
     svu = jnp.uint32(sv)
     # first anchor with bin >= hit_bin - sv + 1 (== "> hit_bin - sv",
     # phrased without underflow); hit needed iff that anchor <= bin + sv
@@ -256,17 +266,23 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
     qhi = jnp.where(sbin >= hi_max - svu, hi_max, sbin + svu)
     aj = jnp.take_along_axis(anc_b, jnp.minimum(j, ac - 1), axis=1)
     needed = valid & (aj <= qhi)
-    kkey = jnp.where(needed, 0, 1).astype(jnp.int32)
-    _, pbin, poff, ppos = jax.lax.sort(
-        (kkey, sbin, soff, spos), num_keys=1, is_stable=True)
+    # compact kept hits by scatter (dense ranks are unique per row);
+    # replaces the second (B, H) 4-operand compaction sort
+    pcum = jnp.cumsum(needed.astype(jnp.int32), axis=1) - 1
+    ptgt = jnp.where(needed, pcum, H)
+    pbin = jnp.full((B, H + 1), 0xFFFFFFFF, sbin.dtype).at[
+        rows, ptgt].set(sbin)[:, :H]
+    poff = jnp.zeros((B, H + 1), soff.dtype).at[rows, ptgt].set(
+        soff)[:, :H]
+    ppos = jnp.zeros((B, H + 1), spos.dtype).at[rows, ptgt].set(
+        spos)[:, :H]
     n_kept = jnp.sum(needed.astype(jnp.int32), axis=1)
 
     return {
         "hits_bin": pbin, "hits_off": poff, "hits_pos": ppos,
         "n_hits": n_kept,
-        "anc_pos": apos[:, :a_cap], "anc_off": aoff[:, :a_cap],
-        "anc_bin": abin[:, :a_cap],
-        "n_anchors": jnp.minimum(n_anchors, a_cap),
+        "anc_pos": apos, "anc_off": aoff, "anc_bin": abin,
+        "n_anchors": n_anc_c,
         "n_anchors_raw": n_anchors,
         "n_queried_buckets": n_queried_buckets,
     }
@@ -275,15 +291,48 @@ def _hits_post(binf, offf, posf, okf, n_queried_buckets, k, threshold,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "num_seeds", "max_stride", "overlap",
+                     "max_occ", "mq_cap", "lut_shift", "lut_steps",
+                     "packed_q"))
+def dsoft_count(codes2, lengths, sorted_hashes, *,
+                k, w, num_seeds, max_stride, overlap, max_occ, mq_cap,
+                lut=None, lut_shift=0, lut_steps=0, bucket_offsets=None,
+                packed_q=False):
+    """Exact flat-hit-slot count per row — the cheap sizing pre-pass.
+
+    Runs only the minimizer scan + bucket-range lookups (no hit gather, no
+    sorts), so the seeder can pick ``hit_cap`` for the fused program
+    exactly instead of growing it through overflow retries — each retry
+    recompiled the big program (~26 s at 3.2 Gbp scale), which is what
+    round 3's seed_dispatch actually spent its 138 s on.
+
+    packed_q: codes2 is (B, Lcap/4) 2-bit-packed (ops/packed.pack2)."""
+    if packed_q:
+        from darwin_tpu.ops.packed import unpack2
+        codes2 = unpack2(codes2)
+    offs, qhash, slot_ok = _queried_minimizers(
+        codes2, lengths, k, w, num_seeds, max_stride, overlap, mq_cap)
+    start, end = _bucket_ranges(sorted_hashes, qhash, lut, lut_shift,
+                                lut_steps, bucket_offsets)
+    cnt = end - start
+    eff = jnp.where(slot_ok & (cnt <= max_occ), cnt, 0)
+    return jnp.sum(eff, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "num_seeds", "max_stride", "overlap",
                      "threshold", "bin_size", "max_occ", "mq_cap", "a_cap",
-                     "hit_cap", "lut_shift", "lut_steps"))
+                     "hit_cap", "lut_shift", "lut_steps", "packed_q"))
 def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
                  k, w, num_seeds, max_stride, overlap, threshold,
                  bin_size, max_occ, mq_cap, a_cap, hit_cap=None,
-                 lut=None, lut_shift=0, lut_steps=0, bucket_offsets=None):
+                 lut=None, lut_shift=0, lut_steps=0, bucket_offsets=None,
+                 packed_q=False):
     """Batched D-SOFT hit generation + anchor selection.
 
-    codes2 : (B, Lcap) uint8 2-bit query codes (row-padded with 0)
+    codes2 : (B, Lcap) uint8 2-bit query codes (row-padded with 0), or
+             (B, Lcap/4) packed 4-per-byte when packed_q (the seeder's
+             upload format — the tunnel moves 4x fewer bytes)
     lengths: (B,) int32
     sorted_hashes/positions: the SeedTable arrays (sorted_hashes is None
     for the csr layout, which passes bucket_offsets instead).
@@ -303,14 +352,17 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
     """
     if hit_cap is None:
         hit_cap = mq_cap * max_occ
+    if packed_q:
+        from darwin_tpu.ops.packed import unpack2
+        codes2 = unpack2(codes2)
     offs, qhash, slot_ok = _queried_minimizers(
         codes2, lengths, k, w, num_seeds, max_stride, overlap, mq_cap)
     start, end = _bucket_ranges(sorted_hashes, qhash, lut, lut_shift,
                                 lut_steps, bucket_offsets)
-    binf, offf, posf, okf, bucket_ok, total = _bucket_hits_flat(
+    binf, offf, posf, _okf, bucket_ok, total = _bucket_hits_flat(
         positions, offs, (start, end), end - start, slot_ok,
         max_occ, bin_size, hit_cap)
-    res = _hits_post(binf, offf, posf, okf,
+    res = _hits_post(binf, offf, posf,
                      jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
                      k, threshold, a_cap, sv_bins(bin_size, overlap))
     res["n_flat_raw"] = total

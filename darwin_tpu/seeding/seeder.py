@@ -17,7 +17,7 @@ import numpy as np
 from darwin_tpu import genome as G
 from darwin_tpu.index.seed_table import SeedTable
 from darwin_tpu.seeding import chain
-from darwin_tpu.seeding.dsoft import dsoft_device, mq_cap_for
+from darwin_tpu.seeding.dsoft import dsoft_count, dsoft_device, mq_cap_for
 
 
 def _round_up_pow2(x: int, floor: int = 512) -> int:
@@ -36,7 +36,7 @@ class SeedResult:
 
 class Seeder:
     def __init__(self, table: SeedTable, cfg, a_cap: int = 8192,
-                 hit_cap: int = 8192, mesh=None):
+                 hit_cap: int = 512, mesh=None):
         """mesh: optional jax.sharding.Mesh — shards the seed table by
         hash range across devices (parallel/shard_index.py) and runs the
         sharded D-SOFT, with hits routed to the read's owner by one tiled
@@ -106,14 +106,55 @@ class Seeder:
         pcap = lcap - cfg.seed_size + 1
         mq_cap = mq_cap_for(pcap, cfg.num_seeds, cfg.max_stride,
                             cfg.do_overlap)
-        # flat hit / anchor buffers: start optimistic and retry on overflow
-        # (the lossless worst case mq_cap*max_occ is ~100x what real reads
-        # use, and the buffer widths drive the gather and the hit sort)
         ceil_cap = mq_cap * self.max_occ
-        hit_cap = min(self.hit_cap, ceil_cap)
         a_cap = min(self.a_cap, ceil_cap)
-        while True:
-            if self.mesh is not None:
+        if self.mesh is None:
+            # exact flat-hit sizing pre-pass (dsoft_count is scan + two
+            # gathers — no hit buffers) so hit_cap never overflow-retries:
+            # each retry recompiled the fused program, which is where the
+            # old loop's time actually went at multi-Gbp table scale.
+            # hit_cap only grows (sticky) so equal-shape batches reuse the
+            # compiled program.
+            from darwin_tpu.ops.packed import pack2
+            codes_dev = jnp.asarray(pack2(codes2))
+            lengths_dev = jnp.asarray(lengths)
+            tbl = dict(lut=self.table.prefix_lut,
+                       lut_shift=self.table.lut_shift,
+                       lut_steps=self.table.lut_steps,
+                       bucket_offsets=self.table.bucket_offsets)
+            need = dsoft_count(
+                codes_dev, lengths_dev, self.table.sorted_hashes,
+                k=cfg.seed_size, w=cfg.minimizer_window,
+                num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+                overlap=cfg.do_overlap, max_occ=self.max_occ,
+                mq_cap=mq_cap, packed_q=True, **tbl)
+            need_h = max(int(np.asarray(need).max()), 1)
+            hit_cap = min(max(_round_up_pow2(need_h), self.hit_cap),
+                          ceil_cap)
+            self.hit_cap = hit_cap
+            while True:
+                res_dev = dsoft_device(
+                    codes_dev, lengths_dev,
+                    self.table.sorted_hashes, self.table.positions,
+                    k=cfg.seed_size, w=cfg.minimizer_window,
+                    num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
+                    overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
+                    bin_size=cfg.bin_size, max_occ=self.max_occ,
+                    mq_cap=mq_cap, a_cap=a_cap, hit_cap=hit_cap,
+                    packed_q=True, **tbl)
+                counts = np.asarray(jnp.stack(
+                    [res_dev["n_hits"], res_dev["n_anchors"],
+                     res_dev["n_anchors_raw"],
+                     res_dev["n_queried_buckets"], res_dev["n_flat_raw"]]))
+                need_a = int(counts[2].max())
+                if need_a <= a_cap or a_cap >= ceil_cap:
+                    break
+                a_cap = min(_round_up_pow2(need_a, a_cap * 2), ceil_cap)
+                self.a_cap = a_cap
+        else:
+            # sharded path: hit_cap is per-shard; keep the overflow retry
+            hit_cap = min(self.hit_cap, ceil_cap)
+            while True:
                 from darwin_tpu.parallel.shard_index import dsoft_sharded
                 res_dev = dsoft_sharded(
                     self.mesh, jnp.asarray(codes2), jnp.asarray(lengths),
@@ -123,37 +164,25 @@ class Seeder:
                     overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
                     bin_size=cfg.bin_size, max_occ=self.max_occ,
                     mq_cap=mq_cap, a_cap=a_cap, hit_cap=hit_cap)
-            else:
-                res_dev = dsoft_device(
-                    jnp.asarray(codes2), jnp.asarray(lengths),
-                    self.table.sorted_hashes, self.table.positions,
-                    k=cfg.seed_size, w=cfg.minimizer_window,
-                    num_seeds=cfg.num_seeds, max_stride=cfg.max_stride,
-                    overlap=cfg.do_overlap, threshold=cfg.dsoft_threshold,
-                    bin_size=cfg.bin_size, max_occ=self.max_occ,
-                    mq_cap=mq_cap, a_cap=a_cap,
-                    hit_cap=hit_cap, lut=self.table.prefix_lut,
-                    lut_shift=self.table.lut_shift,
-                    lut_steps=self.table.lut_steps,
-                    bucket_offsets=self.table.bucket_offsets)
-            # worst-case-padded anchor buffers use a tiny real prefix —
-            # fetch the counts first, then only the used columns
-            counts = np.asarray(jnp.stack(
-                [res_dev["n_hits"], res_dev["n_anchors"],
-                 res_dev["n_anchors_raw"], res_dev["n_queried_buckets"],
-                 res_dev["n_flat_raw"]]))
-            need_h = int(counts[4].max())
-            need_a = int(counts[2].max())
-            ok_h = need_h <= hit_cap or hit_cap >= ceil_cap
-            ok_a = need_a <= a_cap or a_cap >= ceil_cap
-            if ok_h and ok_a:
-                break
-            if not ok_h:
-                hit_cap = min(_round_up_pow2(need_h, hit_cap * 2), ceil_cap)
-                self.hit_cap = hit_cap    # remember for later batches
-            if not ok_a:
-                a_cap = min(_round_up_pow2(need_a, a_cap * 2), ceil_cap)
-                self.a_cap = a_cap
+                # worst-case-padded anchor buffers use a tiny real prefix —
+                # fetch the counts first, then only the used columns
+                counts = np.asarray(jnp.stack(
+                    [res_dev["n_hits"], res_dev["n_anchors"],
+                     res_dev["n_anchors_raw"],
+                     res_dev["n_queried_buckets"], res_dev["n_flat_raw"]]))
+                need_h = int(counts[4].max())
+                need_a = int(counts[2].max())
+                ok_h = need_h <= hit_cap or hit_cap >= ceil_cap
+                ok_a = need_a <= a_cap or a_cap >= ceil_cap
+                if ok_h and ok_a:
+                    break
+                if not ok_h:
+                    hit_cap = min(_round_up_pow2(need_h, hit_cap * 2),
+                                  ceil_cap)
+                    self.hit_cap = hit_cap    # remember for later batches
+                if not ok_a:
+                    a_cap = min(_round_up_pow2(need_a, a_cap * 2), ceil_cap)
+                    self.a_cap = a_cap
         t0 = mark("seed_dispatch", t0)
         res = {"n_hits": counts[0], "n_anchors": counts[1],
                "n_anchors_raw": counts[2], "n_queried_buckets": counts[3]}
