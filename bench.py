@@ -76,13 +76,17 @@ def run_smoke(platform: str) -> str:
     return "pass"
 
 
-def measure_dispatch(params, kernel_mod, T: int) -> dict:
+def make_dispatch_bench(params, kernel_mod, T: int):
     """Shared tunnel-safe measurement harness: NBUF rotated input buffers
     per device program (the tunnel caches identical executions), rounds
     scanned inside ONE program (RTT cannot pollute), RTT floor subtracted,
-    median of 10 samples reported with min/max.  Any methodology change
+    median of the samples reported with min/max.  Any methodology change
     lands here once, for every GCUPS benchmark (bench.py,
-    tools/bench_generic.py)."""
+    tools/bench_generic.py).
+
+    Returns sample(n, seed) -> list of per-program GCUPS samples, so the
+    compiled program can be re-sampled across spaced windows without
+    recompiling (the self-calibration loop in main)."""
     import jax
     import jax.numpy as jnp
 
@@ -129,43 +133,51 @@ def measure_dispatch(params, kernel_mod, T: int) -> dict:
 
     int(rounds(qstack, rstack))  # compile + warm
 
-    # fresh stacks with different values (the tunnel caches identical calls)
-    rng2 = np.random.default_rng(1)
-    stacks = []
-    for s in range(10):
-        q2 = np.asarray(qstack).copy()
-        flip = rng2.random(q2.shape) < 0.05
-        q2[flip] = (q2[flip] + 1 + s) % 4
-        stacks.append(jax.device_put(q2))
-    jax.block_until_ready(stacks)
-
-    # estimate the host<->device round-trip floor and subtract it
-    @jax.jit
-    def tiny(x):
-        return x + 1
-    int(tiny(jnp.int32(0)))
-    t0 = time.perf_counter()
-    int(tiny(jnp.int32(1)))
-    rtt = time.perf_counter() - t0
-
-    # median of 10 samples (each sample = NBUF rounds inside one device
-    # program): the shared tunnel's phase swings are +-20%, so the median
-    # is the honest "typical" number; min/max are reported alongside.
-    times = []
-    for q2 in stacks:
-        t0 = time.perf_counter()
-        sink = int(rounds(q2, rstack))
-        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF)
-
+    qstack_np = np.asarray(qstack)
     cells = B * T * T
-    samples = sorted(cells / t / 1e9 for t in times)
-    gcups = float(np.median(samples))
+
+    def sample(n: int, seed: int = 1):
+        # fresh stacks with different values per call (the tunnel caches
+        # identical executions)
+        rng2 = np.random.default_rng(seed)
+        stacks = []
+        for s in range(n):
+            q2 = qstack_np.copy()
+            flip = rng2.random(q2.shape) < 0.05
+            q2[flip] = (q2[flip] + 1 + s) % 4
+            stacks.append(jax.device_put(q2))
+        jax.block_until_ready(stacks)
+
+        # estimate the host<->device round-trip floor and subtract it
+        @jax.jit
+        def tiny(x):
+            return x + 1
+        int(tiny(jnp.int32(seed)))
+        t0 = time.perf_counter()
+        int(tiny(jnp.int32(seed + 1)))
+        rtt = time.perf_counter() - t0
+
+        times = []
+        for q2 in stacks:
+            t0 = time.perf_counter()
+            int(rounds(q2, rstack))
+            times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF)
+        return [cells / t / 1e9 for t in times]
+
+    return sample
+
+
+def measure_dispatch(params, kernel_mod, T: int, samples: int = 10) -> dict:
+    """One-shot wrapper over make_dispatch_bench: the shared tunnel's
+    phase swings are +-20%, so the median is the honest "typical" number;
+    min/max are reported alongside."""
+    vals = sorted(make_dispatch_bench(params, kernel_mod, T)(samples))
     return {
-        "value": round(gcups, 3),
+        "value": round(float(np.median(vals)), 3),
         "unit": "GCUPS",
-        "n_samples": len(samples),
-        "min": round(samples[0], 3),
-        "max": round(samples[-1], 3),
+        "n_samples": len(vals),
+        "min": round(vals[0], 3),
+        "max": round(vals[-1], 3),
     }
 
 
@@ -187,17 +199,49 @@ def main():
 
     cfg = Config()
     params = gact.make_params(cfg)
-    smoke = run_smoke(jax.devices()[0].platform)
-    res = measure_dispatch(params, kernel_mod, cfg.tile_size)
+    platform = jax.devices()[0].platform
+    smoke = run_smoke(platform)
+    sample = make_dispatch_bench(params, kernel_mod, cfg.tile_size)
+
+    # self-calibrating capture: >=3 spaced windows, each pairing a GCUPS
+    # sample with a concurrent VPU attainable-Tops probe (the exact op mix
+    # the DP kernel issues, tools/vpu_probe.py / ROOFLINE.md), so a slow
+    # shared-chip phase is visible IN the artifact as a low calib_tops with
+    # an unchanged gcups_per_top ratio — and a kernel regression as a
+    # dropped ratio.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.vpu_probe import probe
+
+    n_win = 3 if platform != "cpu" else 1
+    per_win = 4 if platform != "cpu" else 2
+    windows, all_vals = [], []
+    for w in range(n_win):
+        if w:
+            time.sleep(20)
+        tops = probe(modes=("max4",), samples=3)["max4"]["tops"]
+        vals = sample(per_win, seed=w + 1)
+        all_vals += vals
+        med = float(np.median(vals))
+        windows.append({
+            "gcups": round(med, 3),
+            "calib_tops": tops,
+            "gcups_per_top": round(med / tops, 3) if tops else None,
+        })
+    all_vals.sort()
+    gcups = float(np.median(all_vals))
     print(json.dumps({
         "metric": "gact_gcups",
-        "value": res["value"],
+        "value": round(gcups, 3),
         "unit": "GCUPS",
-        "vs_baseline": round(res["value"] / 100.0, 4),
+        "vs_baseline": round(gcups / 100.0, 4),
         "smoke": smoke,
-        "n_samples": res["n_samples"],
-        "min": res["min"],
-        "max": res["max"],
+        "n_samples": len(all_vals),
+        "min": round(all_vals[0], 3),
+        "max": round(all_vals[-1], 3),
+        "windows": windows,
+        "calib": "max4 int32 Tops (tools/vpu_probe.py) sampled "
+                 "immediately before each window; ROOFLINE.md's attainable "
+                 "full-dispatch ceiling is ~11-13 GCUPS/Top",
     }))
 
 

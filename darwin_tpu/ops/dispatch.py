@@ -533,8 +533,8 @@ def _make_spec_resolver(packed_dev, rerun_wide, B, K, qt, max_tb,
         sub = cols = Rw = None
         tail = packed[K * R:]
         if flagged.size:  # sweep spill / record overflow: lossless rerun
-            # (RECOVERY telemetry is counted inside rerun_wide — the mesh
-            # variant reruns the whole sharded batch, not just `flagged`)
+            # (RECOVERY telemetry is counted inside rerun_wide; both the
+            # single-device and mesh variants rerun only `flagged`)
             sub_dev, cols = rerun_wide(flagged)
             sub = np.asarray(sub_dev)
             Rw = (sub.shape[0] - tailr) // K

@@ -164,6 +164,16 @@ def _pallas_spec_step(mesh: Mesh, params_static, qt, rt, max_tb, stop_thr,
         out_specs=spec_cols, check_rep=False))
 
 
+def _local0(arr):
+    """Device-local view of a replicated mesh array (shard 0 is the full
+    replica) — lets the tiny per-lane recovery programs run single-device
+    without a host round trip or a cross-device copy."""
+    try:
+        return arr.addressable_data(0)
+    except AttributeError:      # plain numpy input
+        return arr
+
+
 class MeshDispatcher:
     """Pipeline-facing dispatcher: replicates resident sequence buffers once
     and shards every per-round tile batch over the mesh.  Drop-in for the
@@ -194,11 +204,17 @@ class MeshDispatcher:
         all and overlap compute with fetch/decode — same contract as
         ops.dispatch.extend_tiles_async."""
         B = int(r_start.shape[0])
+        if use_pallas_for(params):
+            from darwin_tpu.ops import gact_pallas
+            from darwin_tpu.ops.dispatch import (_extend_round_pallas,
+                                                 _pack_requests,
+                                                 _subset_requests, rec_bits)
+            # host copy of the requests for per-lane recovery reruns
+            req_np = np.asarray(_pack_requests(r_start, r_size, q_start,
+                                               q_size, rev))
         (r_start, r_size, q_start, q_size, rev) = self._shard(
             r_start, r_size, q_start, q_size, rev)
         if use_pallas_for(params):
-            from darwin_tpu.ops import gact_pallas
-            from darwin_tpu.ops.dispatch import rec_bits
             ps = gact_pallas._static_params(params)
             bits = rec_bits()
             step = _pallas_extend_step(self.mesh, ps, qt, rt, max_tb,
@@ -207,34 +223,47 @@ class MeshDispatcher:
                         q_size, rev)
 
             def resolve():
-                out, bits_used = out0, bits
-                if bool(np.any(np.asarray(out["spill"]))):
-                    # sweep spill or compact-record overflow: mesh lanes
-                    # are device-sharded, so the whole (sharded) batch
-                    # reruns safe + wide (lossless either way)
-                    from darwin_tpu.ops.dispatch import RECOVERY
-                    RECOVERY["rerun_dispatches"] += 1
-                    RECOVERY["rerun_lanes"] += B
-                    safe = _pallas_extend_step(self.mesh, ps, qt, rt,
-                                               max_tb, safe=True,
-                                               bits=16)
-                    out = safe(ref_codes, query_codes, r_start, r_size,
-                               q_start, q_size, rev)
-                    bits_used = 16
-                out = dict(out)
-                out.pop("spill")
+                out = dict(out0)
+                spill = np.asarray(out.pop("spill"))
                 rec = np.asarray(out.pop("rec"))
-                qsteps = out.pop("q_steps_all")
-                rsteps = out.pop("r_steps_all")
-                L = min(qt + rec.shape[0] * (16 // bits_used), 2 * max_tb)
-                expand = (gact_pallas._expand_records if bits_used == 16
+                qsteps = np.asarray(out.pop("q_steps_all"))[:B]
+                rsteps = np.asarray(out.pop("r_steps_all"))[:B]
+                L = min(qt + rec.shape[0] * (16 // bits), 2 * max_tb)
+                expand = (gact_pallas._expand_records if bits == 16
                           else functools.partial(
                               gact_pallas._expand_records_packed,
-                              bits=bits_used))
+                              bits=bits))
                 ops, n_ops = expand(rec, B, L)
+                flagged = np.flatnonzero(spill[:B])
+                if flagged.size:
+                    # sweep spill or compact-record overflow: gather the
+                    # flagged lanes into one small single-device rerun
+                    # (safe sweep + wide records — lossless either way)
+                    # instead of rerunning the whole sharded batch; same
+                    # per-lane pattern as ops.dispatch.extend_tiles_async
+                    from darwin_tpu.ops.dispatch import RECOVERY
+                    RECOVERY["rerun_dispatches"] += 1
+                    RECOVERY["rerun_lanes"] += int(flagged.size)
+                    sub = np.asarray(_extend_round_pallas(
+                        _local0(ref_codes), _local0(query_codes),
+                        _subset_requests(req_np, flagged), ps, qt, rt,
+                        max_tb, safe=True, bits=16))
+                    Rw = sub.shape[0] - 6
+                    ow, nw = gact_pallas._expand_records(
+                        sub[:Rw], flagged.size, L)
+                    ops[flagged], n_ops[flagged] = ow, nw
+                    qsteps = np.array(qsteps)
+                    rsteps = np.array(rsteps)
+                    qsteps[flagged] = sub[Rw][:flagged.size]
+                    rsteps[flagged] = sub[Rw + 1][:flagged.size]
+                    for key, row in (("score", Rw + 2),
+                                     ("query_max_pos", Rw + 3),
+                                     ("ref_max_pos", Rw + 4)):
+                        v = np.array(np.asarray(out[key]))
+                        v[flagged] = sub[row][:flagged.size]
+                        out[key] = v
                 return out | {"ops": ops, "n_ops": n_ops,
-                              "q_steps": np.asarray(qsteps)[:B],
-                              "r_steps": np.asarray(rsteps)[:B]}
+                              "q_steps": qsteps, "r_steps": rsteps}
             return resolve
         res = _extend_step(ref_codes, query_codes, r_start, r_size,
                            q_start, q_size, rev, params, qt, rt, max_tb,
@@ -273,16 +302,19 @@ class MeshDispatcher:
         packed_dev = step(ref_codes, query_codes, req)
 
         def rerun_wide(idx):
-            # mesh lanes are device-sharded, so the rerun (safe sweep +
-            # wide records) keeps the whole (sharded) batch and the
-            # resolver picks columns idx out of the full-width result
-            from darwin_tpu.ops.dispatch import RECOVERY
+            # per-lane recovery: gather only the flagged lanes into one
+            # small single-device rerun (safe sweep + wide records) —
+            # same pattern as ops.dispatch.extend_tiles_spec_async
+            from darwin_tpu.ops.dispatch import (RECOVERY,
+                                                 _extend_round_spec_pallas,
+                                                 _subset_requests)
             RECOVERY["rerun_dispatches"] += 1
-            RECOVERY["rerun_lanes"] += int(req.shape[1])  # whole batch
-            safe_step = _pallas_spec_step(self.mesh, ps, qt, rt, max_tb,
-                                          stop_thr, K, safe=True,
-                                          bits=16)
-            return safe_step(ref_codes, query_codes, req), np.asarray(idx)
+            RECOVERY["rerun_lanes"] += len(idx)
+            sub = _extend_round_spec_pallas(
+                _local0(ref_codes), _local0(query_codes),
+                _subset_requests(req_np, idx), ps, qt, rt, max_tb,
+                stop_thr, K, safe=True, bits=16)
+            return sub, np.arange(len(idx))
 
         return _make_spec_resolver(packed_dev, rerun_wide, B, K, qt,
                                    max_tb, r_start64, q_start64, bits)

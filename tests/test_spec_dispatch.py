@@ -238,3 +238,58 @@ def test_spec_dispatch_byte_identity(tiny_workload, monkeypatch):
                 "num_slope_filtered", "num_extend_tiles",
                 "num_active_tiles", "num_large_tiles"):
         assert pl_cnt[key] == lax_cnt[key], key
+
+
+@pytest.mark.parametrize("spec", [False, True])
+def test_mesh_per_lane_rerun(rng, monkeypatch, spec):
+    """Mesh-path spill recovery is per-lane: exactly the flagged lanes
+    (here 2 of 256) rerun through one small single-device safe+wide
+    program, and the patched results equal the wide layout."""
+    from darwin_tpu.parallel.shard import MeshDispatcher, make_mesh
+
+    monkeypatch.setenv("DARWIN_TPU_KERNEL", "pallas")
+    dispatch.use_pallas.cache_clear()
+
+    refc, qc, r_start, r_size, q_start, q_size, rev, params = \
+        _overflow_case(rng)
+    # widen to 2 devices x 128 lanes with a second flagged lane at 200
+    def widen(a, fill):
+        out = np.full(256, fill, a.dtype)
+        out[:128] = a
+        return out
+    r_start = widen(r_start, 0)
+    r_size = widen(r_size, 1)
+    q_start = widen(q_start, 0)
+    q_size = widen(q_size, 1)
+    rev = widen(rev, False)
+    r_size[200] = r_size[0]
+    q_size[200] = q_size[0]
+
+    md = MeshDispatcher(make_mesh(2))
+    refc = md.put_replicated(refc)
+    qc = md.put_replicated(qc)
+
+    def run():
+        if spec:
+            chrom_start = np.zeros(256, np.int64)
+            chrom_len = np.full(256, 192, np.int64)
+            q_buf_start = np.zeros(256, np.int64)
+            q_len = np.asarray(q_size, np.int64)
+            return md.extend_tiles_spec_async(
+                refc, qc, r_start, r_size, q_start, q_size, rev,
+                chrom_start, chrom_len, q_buf_start, q_len, params,
+                qt=256, rt=256, max_tb=512, stop_thr=192)()
+        return md.extend_tiles_async(
+            refc, qc, r_start, r_size, q_start, q_size, rev, params,
+            qt=256, rt=256, max_tb=512)()
+
+    monkeypatch.setenv("DARWIN_TPU_RECBITS", "16")
+    wide = run()
+    monkeypatch.setenv("DARWIN_TPU_RECBITS", "8")
+    before = dict(dispatch.RECOVERY)
+    compact = run()
+    assert dispatch.RECOVERY["rerun_dispatches"] == \
+        before["rerun_dispatches"] + 1
+    # per-lane: only the 2 flagged lanes rerun, not the 256-lane batch
+    assert dispatch.RECOVERY["rerun_lanes"] == before["rerun_lanes"] + 2
+    _res_equal(wide, compact)

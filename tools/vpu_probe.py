@@ -22,7 +22,13 @@ import time
 import numpy as np
 
 
-def main():
+def probe(modes=("max", "add", "sel", "shift", "max4"), samples: int = 5):
+    """Measure sustained int32 VPU op throughput (Tops) for the given op
+    mixes; returns {"platform": ..., mode: {"tops": ..., "ms": ...}}.
+
+    Exposed as a library so BENCH artifacts can embed a concurrent
+    calibration sample (the shared chip's phase is visible in-artifact:
+    GCUPS alongside the attainable Tops measured seconds apart)."""
     import functools
 
     import jax
@@ -110,11 +116,11 @@ def main():
     out = {"platform": platform}
     # ops/rep by mode: max/add/max4 2, sel 4, shift 3 — tops below are
     # normalized to ops_per=2*REPS; scale sel by 2 and shift by 1.5
-    for mode in ("max", "add", "sel", "shift", "max4"):
+    for mode in modes:
         f = build(mode, GRID)
         stacks = [jnp.asarray(rng.integers(0, 1 << 20,
                                            size=(NBUF, QT, LANES)),
-                              jnp.int32) for _ in range(5)]
+                              jnp.int32) for _ in range(samples)]
         jax.block_until_ready(stacks)
         int(f(stacks[0]))          # compile+warm
         ts = []
@@ -125,7 +131,11 @@ def main():
         dt = float(np.median(ts))
         out[mode] = {"tops": round(elems * ops_per / dt / 1e12, 3),
                      "ms": round(dt * 1e3, 3)}
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    print(json.dumps(probe()))
 
 
 if __name__ == "__main__":
