@@ -114,11 +114,19 @@ def minimizer_scan(codes2, lengths, k: int, w: int):
 # across batches (and reset at chromosome starts) by the host.
 
 CHUNK = 1 << 14          # bases of new positions per row
-CROWS = 128              # rows per device call
+CROWS = 128              # rows per device call (host-uploaded rows)
 # (CROWS*CHUNK = 2 Mbp per dispatch, same as the previous 8 x 256K rows for
 # whole-genome scans; the short rows let a read-set index build — overlap
 # mode — pack many short sequences into one dispatch instead of paying a
 # full-width dispatch per read.)
+#
+# When rows are gathered ON DEVICE from the resident packed genome
+# (ops/packed.gather_rows) the tunnel carries only a (7, R) meta matrix
+# per batch, so the batch can be ~16x larger: per-dispatch enqueue latency
+# through the axon tunnel — not bytes and not device compute — is what
+# dominated the 3.2 Gbp build (round 3: 1600 dispatches/pass at ~0.3 s
+# each).  32 Mbp/dispatch puts a whole-genome pass at ~100 dispatches.
+CROWS_PACKED = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
@@ -317,33 +325,62 @@ def _resume_carry(B: int, resume0, carry_prev):
         jnp.where(resume0 != 0, carry_prev, 0))
 
 
+# row indices of the (7, R) int32 streaming-build meta matrix — ONE
+# host->device transfer per batch instead of seven vector uploads (each
+# upload is a serialized tunnel enqueue; they dominated the build)
+(META_OFF, META_ISTART, META_IEND, META_NV, META_FIRST, META_GOFF,
+ META_GSTART) = range(7)
+
+
+def _meta_unpack(meta):
+    """meta -> (off, istart, iend, nvalid, first, goff) inside a jit.
+    goff/gstart are uint32 bit patterns staged through int32 rows; the
+    consumers' uint32 casts are modular, so the int32 view is exact."""
+    return (meta[META_OFF], meta[META_ISTART], meta[META_IEND],
+            meta[META_NV], meta[META_FIRST], meta[META_GOFF])
+
+
+def _batch_rows(packed_dev) -> int:
+    """Rows per streaming-build batch.  Big batches only pay off where the
+    per-dispatch enqueue latency exists (the TPU tunnel); the CPU backend
+    (tests) keeps the small width so multi-batch carry-resume stays
+    exercised by small fixtures."""
+    if packed_dev is None or jax.default_backend() == "cpu":
+        return CROWS
+    return CROWS_PACKED
+
+
 def _packed_row_batches(seqs, k: int, w: int, packed_dev=None):
-    """Shared streaming-build work list: yield (CROWS, CL) row batches as
-    device arrays — (rows, off, istart, iend, nvalid, first, resume0,
-    goff) — covering every chromosome chunk in ascending global position
-    order.  Used by both streaming builds (sorted pairs and csr); any fix
-    to the halo/carry/packing semantics lands once, here.
+    """Shared streaming-build work list: yield (rows, meta, resume0)
+    batches as device arrays — rows (R, CL) uint8 2-bit codes, meta the
+    (7, R) int32 matrix of _meta_unpack — covering every chromosome chunk
+    in ascending global position order.  Used by both streaming builds
+    (sorted pairs and csr); any fix to the halo/carry/packing semantics
+    lands once, here.
 
     packed_dev: optional device-resident 2-bit-packed GLOBAL genome
     (ops/packed.device_packed).  When present, rows are gathered + unpacked
     ON DEVICE from it (ops/packed.gather_rows at global position
-    chrom_start + local) instead of sliced on the host and uploaded —
-    round 3's csr build spent ~all of its 443 s at 3.2 Gbp re-streaming
-    the genome through the ~15 MB/s tunnel twice.  Row content is
-    identical for every position the scan can read (local slices are
-    global slices up to r16 - 1 < padded chromosome length; beyond iend
-    the emission mask makes the values inert — tests/test_packed_build.py
-    locks table equality).
+    chrom_start + local) instead of sliced on the host and uploaded, and
+    batches grow to CROWS_PACKED rows (32 Mbp/dispatch): round 3's 443 s
+    csr build at 3.2 Gbp went to ~3200 serialized tunnel enqueues — not
+    bytes, not device compute — so the fix is fewer, bigger dispatches
+    with ONE meta upload each.  Row content is identical for every
+    position the scan can read (local slices are global slices up to
+    r16 - 1 < padded chromosome length; beyond iend the emission mask
+    makes the values inert — tests/test_packed_build.py locks table
+    equality).
 
     Fresh host buffers per batch: the streams never host-sync, so uploads
     may still be in flight when the next batch is packed.  ``goff``
-    (chromosome global start) is staged as uint32 and reinterpreted as
-    int32 — starts >= 2^31 (3.2 Gbp genomes) would overflow an int32
-    assignment, while the device's wrap-around add + uint32 cast recovers
-    the exact mod-2^32 position.
+    (chromosome global start) and ``gstart`` are staged as uint32 and
+    reinterpreted as int32 — starts >= 2^31 (3.2 Gbp genomes) would
+    overflow an int32 assignment, while the device's wrap-around add +
+    uint32 cast recovers the exact mod-2^32 position.
     """
     halo = w + 1
     CL = _row_batch_len(k, w)
+    R = _batch_rows(packed_dev)
 
     nvalids = []
     work = []
@@ -357,18 +394,12 @@ def _packed_row_batches(seqs, k: int, w: int, packed_dev=None):
     if packed_dev is not None:
         from darwin_tpu.ops.packed import gather_rows
 
-    for base in range(0, len(work), CROWS):
-        batch = work[base:base + CROWS]
+    for base in range(0, len(work), R):
+        batch = work[base:base + R]
         if packed_dev is None:
-            rows_np = np.zeros((CROWS, CL), np.uint8)
-        else:
-            gstart = np.zeros(CROWS, np.uint32)
-        off = np.zeros(CROWS, np.int32)
-        istart = np.zeros(CROWS, np.int32)
-        iend = np.zeros(CROWS, np.int32)
-        nv = np.zeros(CROWS, np.int32)
-        first = np.zeros(CROWS, np.int32)
-        goff = np.zeros(CROWS, np.uint32)
+            rows_np = np.zeros((R, CL), np.uint8)
+        meta = np.zeros((7, R), np.int32)
+        mu = meta.view(np.uint32)        # rows GOFF/GSTART hold uint32
         for i, (si, s) in enumerate(batch):
             o = max(s - halo, 0)
             if packed_dev is None:
@@ -376,30 +407,29 @@ def _packed_row_batches(seqs, k: int, w: int, packed_dev=None):
                 seg_ = codes2[o:o + CL]
                 rows_np[i, :len(seg_)] = seg_
             else:
-                gstart[i] = (seqs[si][2] + o) & 0xFFFFFFFF
-            off[i] = o
-            istart[i] = s
-            iend[i] = min(s + CHUNK, nvalids[si])
-            nv[i] = nvalids[si]
-            goff[i] = seqs[si][2]
+                mu[META_GSTART, i] = (seqs[si][2] + o) & 0xFFFFFFFF
+            meta[META_OFF, i] = o
+            meta[META_ISTART, i] = s
+            meta[META_IEND, i] = min(s + CHUNK, nvalids[si])
+            meta[META_NV, i] = nvalids[si]
+            mu[META_GOFF, i] = seqs[si][2] & 0xFFFFFFFF
             if s == 0 or i == 0:
-                first[i] = 1
+                meta[META_FIRST, i] = 1
         resume0 = 1 if batch[0][1] != 0 else 0
+        meta_dev = jnp.asarray(meta)
         rows = (jnp.asarray(rows_np) if packed_dev is None else
-                gather_rows(packed_dev, jnp.asarray(gstart), CL))
-        yield (rows, jnp.asarray(off),
-               jnp.asarray(istart), jnp.asarray(iend), jnp.asarray(nv),
-               jnp.asarray(first), jnp.int32(resume0),
-               jnp.asarray(goff.view(np.int32)))
+                gather_rows(packed_dev, meta_dev[META_GSTART], CL))
+        yield rows, meta_dev, jnp.int32(resume0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
-def _chunk_scan_pairs_resume(rows, off, istart, iend, nvalid, first,
-                             resume0, carry_prev, goff, k: int, w: int):
+def _chunk_scan_pairs_resume(rows, meta, resume0, carry_prev,
+                             k: int, w: int):
     """_chunk_scan_pairs with the resume-carry protocol folded into the
     jit (the anchor carry scalar chains on device; no per-batch sync or
     eager dispatches)."""
     B = rows.shape[0]
+    off, istart, iend, nvalid, first, goff = _meta_unpack(meta)
     carry_in = _resume_carry(B, resume0, carry_prev)
     h, p, carry_out, nem = _chunk_scan_pairs(
         rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
@@ -407,10 +437,9 @@ def _chunk_scan_pairs_resume(rows, off, istart, iend, nvalid, first,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"),
-                   donate_argnums=(9, 10))
-def _chunk_scan_pairs_accum(rows, off, istart, iend, nvalid, first,
-                            resume0, carry_prev, goff, buf_h, buf_p, woff,
-                            k: int, w: int):
+                   donate_argnums=(4, 5))
+def _chunk_scan_pairs_accum(rows, meta, resume0, carry_prev,
+                            buf_h, buf_p, woff, k: int, w: int):
     """One streaming build step: scan a row batch, compact its emitted
     (hash, pos) pairs to the front (device sort, sentinels last), and
     append them to the donated accumulator buffers at running offset
@@ -423,6 +452,7 @@ def _chunk_scan_pairs_accum(rows, off, istart, iend, nvalid, first,
     sorted past the final N and sliced off).
     """
     B = rows.shape[0]
+    off, istart, iend, nvalid, first, goff = _meta_unpack(meta)
     carry_in = _resume_carry(B, resume0, carry_prev)
     h, p, carry_out, nem = _chunk_scan_pairs(
         rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
@@ -449,18 +479,16 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int,
     with a larger cap; detection is conservative — the final batch's slot
     tail must also fit).
     """
-    slot_len = CROWS * _row_batch_len(k, w)
+    slot_len = _batch_rows(packed_dev) * _row_batch_len(k, w)
     buf_h = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
     buf_p = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
     woff = jnp.int32(0)
     carry_prev = jnp.int32(0)
     nems = []
 
-    for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w, packed_dev):
+    for rows, meta, resume0 in _packed_row_batches(seqs, k, w, packed_dev):
         buf_h, buf_p, woff, carry_prev, nem = _chunk_scan_pairs_accum(
-            rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
-            buf_h, buf_p, woff, k, w)
+            rows, meta, resume0, carry_prev, buf_h, buf_p, woff, k, w)
         nems.append(nem)        # lazy device scalars; no stream sync
 
     # total in exact host arithmetic: the device woff is int32 and wraps
@@ -479,10 +507,9 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "k", "w"),
-                   donate_argnums=(9,))
-def _csr_count_accum(rows, off, istart, iend, nvalid, first, resume0,
-                     carry_prev, goff, counts, n_buckets: int,
-                     k: int, w: int):
+                   donate_argnums=(4,))
+def _csr_count_accum(rows, meta, resume0, carry_prev, counts,
+                     n_buckets: int, k: int, w: int):
     """CSR build pass A: scan a row batch and scatter-add per-bucket seed
     counts into the donated (n_buckets + 1,) int32 array.  Non-emitting
     slots carry the 0xFFFFFFFF sentinel hash, clamped to the extra slot
@@ -491,6 +518,7 @@ def _csr_count_accum(rows, off, istart, iend, nvalid, first, resume0,
     emission count so the caller can total seeds in exact host arithmetic
     (the int32 offset cumsum cannot represent >= 2^31)."""
     B = rows.shape[0]
+    off, istart, iend, nvalid, first, goff = _meta_unpack(meta)
     carry_in = _resume_carry(B, resume0, carry_prev)
     h, _p, carry_out, nem = _chunk_scan_pairs(
         rows, off, istart, iend, nvalid, carry_in, first, goff, k, w)
@@ -500,9 +528,9 @@ def _csr_count_accum(rows, off, istart, iend, nvalid, first, resume0,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"),
-                   donate_argnums=(9, 10))
-def _csr_fill_accum(rows, off, istart, iend, nvalid, first, resume0,
-                    carry_prev, goff, cursor, posbuf, k: int, w: int):
+                   donate_argnums=(4, 5))
+def _csr_fill_accum(rows, meta, resume0, carry_prev, cursor, posbuf,
+                    k: int, w: int):
     """CSR build pass B: scan a row batch, sort its (hash, pos) pairs, and
     scatter each position into its final bucket slot.
 
@@ -513,6 +541,7 @@ def _csr_fill_accum(rows, off, istart, iend, nvalid, first, resume0,
     sorted-pair table's in-bucket order (and the reference's per-bucket
     sort, software/seed_pos_table.cpp:166-174)."""
     B = rows.shape[0]
+    off, istart, iend, nvalid, first, goff = _meta_unpack(meta)
     n_buckets = cursor.shape[0]
     n_pos = posbuf.shape[0]
     carry_in = _resume_carry(B, resume0, carry_prev)
@@ -557,11 +586,9 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
     counts = jnp.zeros((n_buckets + 1,), jnp.int32)
     carry_prev = jnp.int32(0)
     nems = []
-    for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w, packed_dev):
+    for rows, meta, resume0 in _packed_row_batches(seqs, k, w, packed_dev):
         counts, carry_prev, nem = _csr_count_accum(
-            rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
-            counts, n_buckets, k, w)
+            rows, meta, resume0, carry_prev, counts, n_buckets, k, w)
         nems.append(nem)        # lazy device scalars; no stream sync
 
     # total seeds in exact host arithmetic — the int32 offset cumsum wraps
@@ -578,11 +605,9 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
     cursor = offsets[:n_buckets]
     posbuf = jnp.zeros((max(n, 1),), jnp.uint32)
     carry_prev = jnp.int32(0)
-    for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w, packed_dev):
+    for rows, meta, resume0 in _packed_row_batches(seqs, k, w, packed_dev):
         cursor, posbuf, carry_prev = _csr_fill_accum(
-            rows, off, istart, iend, nv, first, resume0, carry_prev, goff,
-            cursor, posbuf, k, w)
+            rows, meta, resume0, carry_prev, cursor, posbuf, k, w)
     del cursor
     return offsets, posbuf[:n], n
 
@@ -604,11 +629,9 @@ def scan_sorted_pairs_device(seqs, k: int, w: int, packed_dev=None):
     """
     hs, ps, nems = [], [], []
     carry_prev = jnp.int32(0)
-    for rows, off, istart, iend, nv, first, resume0, goff \
-            in _packed_row_batches(seqs, k, w, packed_dev):
+    for rows, meta, resume0 in _packed_row_batches(seqs, k, w, packed_dev):
         h, p, carry_prev, nem = _chunk_scan_pairs_resume(
-            rows, off, istart, iend, nv, first, resume0, carry_prev,
-            goff, k, w)
+            rows, meta, resume0, carry_prev, k, w)
         hs.append(h)
         ps.append(p)
         nems.append(nem)

@@ -95,6 +95,8 @@ def gather_rows(packed, gstart_u32, CL: int):
     R = gstart_u32.shape[0]
     nb = CL // 4 + 1
     npk = packed.shape[0]
+    if gstart_u32.dtype != jnp.uint32:     # int32-staged bit pattern
+        gstart_u32 = jax.lax.bitcast_convert_type(gstart_u32, jnp.uint32)
     b0 = (gstart_u32 >> 2).astype(jnp.int32)
     bidx = jnp.clip(b0[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :],
                     0, npk - 1)
@@ -128,17 +130,18 @@ def _paste2(dst, part, c, off):
 
 
 def codes5_from_packed(packed_dev, bounds_dev, total_len: int,
-                       piece: int = 1 << 28):
+                       piece: int = 1 << 26):
     """Materialize the (total_len,) uint8 5-letter code buffer on device
     from the resident packed genome — replaces the encode5 host upload for
     the filter/extension gathers.  Returns the chunk_ref_codes layout:
     1-D below 2^31 elements, else (n_chunks, 2^30) chunked.
 
     The destination is donated through every paste, so peak transient HBM
-    is one `piece` (256 MB) beside the output.  Positions past the packed
-    data (the chunk padding tail) read clipped bytes but every such
-    position is >= total_len and only reachable through masked padding
-    lanes (ops/dispatch._gather_seq)."""
+    is one `piece` plus its decode intermediates (~6x piece = 400 MB at
+    2^26; 2^28 pieces OOM'd a 16 GB chip holding the 3.2 Gbp w=3 csr
+    table).  Positions past the packed data (the chunk padding tail) read
+    clipped bytes but every such position is >= total_len and only
+    reachable through masked padding lanes (ops/dispatch._gather_seq)."""
     from darwin_tpu.ops.dispatch import CHUNK_ELEMS
     assert piece % 4 == 0
 

@@ -119,6 +119,11 @@ def _sharded_fn(mesh: Mesh, axis: str, k, w, num_seeds, max_stride,
         # then take this device's read slice
         nqb = jnp.sum(bucket_ok.astype(jnp.int32), axis=1)
         nqb = jax.lax.all_to_all(nqb[:, None], axis, 0, 1, tiled=True)[:, 0]
+        # occupancy-cap telemetry (replicated: cnt_global is psum'd)
+        ncap = jnp.sum((slot_ok & (cnt_global > max_occ)).astype(jnp.int32),
+                       axis=1)
+        ncap = jax.lax.all_to_all(ncap[:, None], axis, 0, 1,
+                                  tiled=True)[:, 0]
         tot = jax.lax.pmax(total, axis)
         B = codes2.shape[0]
         nsh = jax.lax.psum(1, axis)
@@ -127,12 +132,13 @@ def _sharded_fn(mesh: Mesh, axis: str, k, w, num_seeds, max_stride,
         res = D._hits_post(binf, offf, posf, nqb, k, threshold, a_cap,
                            D.sv_bins(bin_size, overlap))
         res["n_flat_raw"] = tot
+        res["n_capped"] = ncap
         return res
 
     out_specs = {kk: P(axis) for kk in
                  ("hits_bin", "hits_off", "hits_pos", "n_hits", "anc_pos",
                   "anc_off", "anc_bin", "n_anchors", "n_anchors_raw",
-                  "n_queried_buckets", "n_flat_raw")}
+                  "n_queried_buckets", "n_flat_raw", "n_capped")}
     return jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis, None)),

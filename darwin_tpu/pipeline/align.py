@@ -44,6 +44,11 @@ def new_counters():
         "num_spec_hits": 0,
         "num_spec_misses": 0,
         "num_extend_rounds": 0,
+        # D-SOFT bucket telemetry: queried buckets, and how many of those
+        # were skipped for exceeding kmer_max_occurence — the repeat-
+        # structure pressure statistic (software/seed_pos_table.cpp:314)
+        "num_queried_buckets": 0,
+        "num_capped_buckets": 0,
     }
 
 
@@ -204,6 +209,8 @@ class Aligner:
         tacc["read_upload"] = tacc.get("read_upload", 0.0) + _t() - t0
         t0 = _t()
         seeded = self.seeder.seed_batch(reads)
+        counters["num_queried_buckets"] += seeded.n_queried_buckets
+        counters["num_capped_buckets"] += seeded.n_capped_buckets
         tacc["seed"] = tacc.get("seed", 0.0) + _t() - t0
         t0 = _t()
         fw_d = self._filter_dispatch(reads, seeded.fw_anchors, "+",
@@ -454,6 +461,8 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
     print(f"[darwin_tpu] #spec hits: {h}  #spec misses: {m}  "
           f"hit rate: {rate}  #extend rounds: {c['num_extend_rounds']}",
           file=err)
+    print(f"[darwin_tpu] #queried buckets: {c['num_queried_buckets']}  "
+          f"#occupancy-capped: {c['num_capped_buckets']}", file=err)
     print(f"[darwin_tpu] rec bits: {rb}  #recovery dispatches: "
           f"{RECOVERY['rerun_dispatches'] - recov0['rerun_dispatches']}  "
           f"#recovery lanes: "

@@ -366,4 +366,9 @@ def dsoft_device(codes2, lengths, sorted_hashes, positions, *,
                      jnp.sum(bucket_ok.astype(jnp.int32), axis=1),
                      k, threshold, a_cap, sv_bins(bin_size, overlap))
     res["n_flat_raw"] = total
+    # occupancy-cap telemetry: queried buckets skipped for being over
+    # kmer_max_occurence (software/seed_pos_table.cpp:314) — the repeat-
+    # structure signal real genomes have and uniform synthetics don't
+    res["n_capped"] = jnp.sum(
+        (slot_ok & ((end - start) > max_occ)).astype(jnp.int32), axis=1)
     return res

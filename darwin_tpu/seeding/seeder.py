@@ -32,6 +32,7 @@ class SeedResult:
     fw_anchors: List[List[chain.Anchor]]  # per read
     rc_anchors: List[List[chain.Anchor]]
     n_queried_buckets: int
+    n_capped_buckets: int = 0    # queried buckets over kmer_max_occurence
 
 
 class Seeder:
@@ -145,7 +146,8 @@ class Seeder:
                 counts = np.asarray(jnp.stack(
                     [res_dev["n_hits"], res_dev["n_anchors"],
                      res_dev["n_anchors_raw"],
-                     res_dev["n_queried_buckets"], res_dev["n_flat_raw"]]))
+                     res_dev["n_queried_buckets"], res_dev["n_flat_raw"],
+                     res_dev["n_capped"]]))
                 need_a = int(counts[2].max())
                 if need_a <= a_cap or a_cap >= ceil_cap:
                     break
@@ -169,7 +171,8 @@ class Seeder:
                 counts = np.asarray(jnp.stack(
                     [res_dev["n_hits"], res_dev["n_anchors"],
                      res_dev["n_anchors_raw"],
-                     res_dev["n_queried_buckets"], res_dev["n_flat_raw"]]))
+                     res_dev["n_queried_buckets"], res_dev["n_flat_raw"],
+                     res_dev["n_capped"]]))
                 need_h = int(counts[4].max())
                 need_a = int(counts[2].max())
                 ok_h = need_h <= hit_cap or hit_cap >= ceil_cap
@@ -229,4 +232,5 @@ class Seeder:
             fw.append(per_strand[0])
             rc.append(per_strand[1])
         mark("seed_chain", t0)
-        return SeedResult(fw, rc, int(res["n_queried_buckets"].sum()))
+        return SeedResult(fw, rc, int(res["n_queried_buckets"].sum()),
+                          int(counts[5].sum()))

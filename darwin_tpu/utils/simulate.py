@@ -36,10 +36,20 @@ def mutate_read(rng, seq: np.ndarray, sub_p=0.04, ins_p=0.03,
     return out
 
 
+def ont_lengths(rng, n: int, mean: int = 10000, sigma: float = 0.55,
+                lo: int = 1000, hi: int = 40000) -> np.ndarray:
+    """ONT-like log-normal read-length draw (long right tail)."""
+    mu = np.log(mean) - sigma * sigma / 2
+    return np.clip(rng.lognormal(mu, sigma, n).astype(np.int64), lo, hi)
+
+
 def simulate_reads(store: GenomeStore, n_reads: int, read_len: int,
-                   seed: int = 0, error=(0.04, 0.03, 0.03)):
+                   seed: int = 0, error=(0.04, 0.03, 0.03),
+                   read_lens=None):
     """Returns list of (name, seq_bytes, truth) where truth =
-    (chr_name, start0, strand)."""
+    (chr_name, start0, strand).  ``read_lens`` (per-read lengths, e.g.
+    ont_lengths) overrides the fixed ``read_len``; ``error`` is
+    (sub, ins, del) — (0.03, 0.03, 0.04) approximates an ONT profile."""
     rng = np.random.default_rng(seed)
     total = sum(c.length_unpadded for c in store.chromosomes)
     weights = [c.length_unpadded / total for c in store.chromosomes]
@@ -47,7 +57,8 @@ def simulate_reads(store: GenomeStore, n_reads: int, read_len: int,
     for i in range(n_reads):
         ci = int(rng.choice(len(store.chromosomes), p=weights))
         c = store.chromosomes[ci]
-        ln = min(read_len, c.length_unpadded - 1)
+        want = read_len if read_lens is None else int(read_lens[i])
+        ln = min(want, c.length_unpadded - 1)
         start = int(rng.integers(0, max(c.length_unpadded - ln, 1)))
         seq = store.bases[c.start + start:c.start + start + ln]
         seq = mutate_read(rng, seq, *error)

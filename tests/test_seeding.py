@@ -569,3 +569,37 @@ def test_pairs_build_oom_falls_back_to_host(rng, monkeypatch):
     monkeypatch.setattr(st, "scan_sorted_pairs_device", other)
     with pytest.raises(RuntimeError, match="INTERNAL"):
         st.build_seed_table(store, cfg, method="device")
+
+
+def test_occupancy_cap_telemetry_on_repeat_genome(rng):
+    """A repeat-structured genome (utils/synthgenome) must trip the
+    occupancy cap (n_capped_buckets > 0, software/seed_pos_table.cpp:314)
+    while a uniform-random genome of the same size does not — and seeding
+    must still work (anchors produced for a unique-region read)."""
+    from darwin_tpu.utils.synthgenome import repeat_genome
+
+    cfg = Config()
+    cfg.seed_size = 12
+
+    def seed_stats(bases):
+        store = GenomeStore()
+        store.add_chromosome("c0", bases)
+        store.finalize()
+        table = build_seed_table(store, cfg)
+        # 16 reads spread across the genome: with ~40% repeat content at
+        # least one window overlaps a high-occupancy repeat
+        reads = [make_read(f"r{i}", bases[p:p + 2000])
+                 for i, p in enumerate(
+                     range(1000, len(bases) - 2000, len(bases) // 16))]
+        return Seeder(table, cfg).seed_batch(reads)
+
+    rep, stats = repeat_genome(rng, 300_000)
+    assert stats["repeat_frac"] > 0.2
+    r = seed_stats(rep)
+    assert r.n_capped_buckets > 0
+    assert r.n_queried_buckets > 0
+
+    uni = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 300_000)]
+    u = seed_stats(uni)
+    assert u.n_capped_buckets == 0
+    assert any(len(a) > 0 for a in u.fw_anchors)
