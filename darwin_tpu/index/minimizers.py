@@ -128,6 +128,10 @@ CROWS = 128              # rows per device call (host-uploaded rows)
 # each).  32 Mbp/dispatch puts a whole-genome pass at ~100 dispatches.
 CROWS_PACKED = 2048
 
+# sub-phase wall times of the most recent streaming build (csr), for
+# artifact stage tables (tools/bigref_e2e.py); cleared per build
+BUILD_STATS: dict = {}
+
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
 def _chunk_scan(rows, off, istart, iend, nvalid, carry_in, first,
@@ -312,7 +316,10 @@ def _row_batch_len(k: int, w: int) -> int:
     (w+1)-base left halo + k-1 tail, rounded to 16.  One home for the
     geometry shared by _packed_row_batches and its buffer-sizing callers.
     """
-    CL = CHUNK + (w + 1) + k - 1
+    # +3: row starts are aligned DOWN to a multiple of 4 so the packed
+    # build's device gather is pure byte-aligned block slices
+    # (ops/packed.gather_rows); the halo absorbs the alignment shift
+    CL = CHUNK + (w + 1) + 3 + k - 1
     return ((CL + 15) // 16) * 16
 
 
@@ -401,7 +408,7 @@ def _packed_row_batches(seqs, k: int, w: int, packed_dev=None):
         meta = np.zeros((7, R), np.int32)
         mu = meta.view(np.uint32)        # rows GOFF/GSTART hold uint32
         for i, (si, s) in enumerate(batch):
-            o = max(s - halo, 0)
+            o = max(s - halo, 0) & ~3    # byte-aligned for gather_rows
             if packed_dev is None:
                 codes2 = seqs[si][0]
                 seg_ = codes2[o:o + CL]
@@ -555,10 +562,15 @@ def _csr_fill_accum(rows, meta, resume0, carry_prev, cursor, posbuf,
     rank = i - jax.lax.cummax(jnp.where(run_first, i, 0))
     valid = hs != jnp.uint32(0xFFFFFFFF)
     hidx = jnp.minimum(hs, jnp.uint32(n_buckets)).astype(jnp.int32)
-    base = jnp.take(cursor, jnp.minimum(hidx, n_buckets - 1))
-    slot = jnp.where(valid, base + rank, n_pos)   # invalid -> OOB, dropped
-    posbuf = posbuf.at[slot].set(ps, mode="drop")
-    cursor = cursor.at[hidx].add(1, mode="drop")
+    base = jnp.take(cursor, jnp.minimum(hidx, n_buckets - 1),
+                    indices_are_sorted=True)
+    # slots are unique and ascending (hs sorted, rank ascending per run;
+    # each invalid tail entry gets its own distinct OOB slot so the
+    # unique_indices promise holds) — the flags ~halve scatter time on v5e
+    slot = jnp.where(valid, base + rank, n_pos + i)  # invalid -> dropped
+    posbuf = posbuf.at[slot].set(ps, mode="drop", indices_are_sorted=True,
+                                 unique_indices=True)
+    cursor = cursor.at[hidx].add(1, mode="drop", indices_are_sorted=True)
     return cursor, posbuf, carry_out[B - 1]
 
 
@@ -582,6 +594,9 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
     if 2 * k > 28:
         raise ValueError("CSR bucket array gated at 4^14 entries (1 GiB)")
     n_buckets = 1 << (2 * k)
+    import time as _time
+    BUILD_STATS.clear()
+    t0 = _time.perf_counter()
 
     counts = jnp.zeros((n_buckets + 1,), jnp.int32)
     carry_prev = jnp.int32(0)
@@ -593,8 +608,11 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
 
     # total seeds in exact host arithmetic — the int32 offset cumsum wraps
     # silently at 2^31, so it cannot be its own overflow check
+    # (this fetch is also the count pass's sync point)
     n = int(np.asarray(jnp.stack(nems)).astype(np.int64).sum()) if nems \
         else 0
+    BUILD_STATS["count_pass_s"] = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
     if n >= (1 << 31):
         raise ValueError(
             f"{n} seeds overflow a single int32-indexed CSR table; use "
@@ -608,6 +626,12 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
     for rows, meta, resume0 in _packed_row_batches(seqs, k, w, packed_dev):
         cursor, posbuf, carry_prev = _csr_fill_accum(
             rows, meta, resume0, carry_prev, cursor, posbuf, k, w)
+    # sync the fill pass HERE: block_until_ready is not a true barrier
+    # through the axon tunnel, so without a scalar fetch the pass's
+    # execution bleeds into whatever device op the caller runs next
+    # (round 4 measured it as ~230 s of phantom "read_upload")
+    int(posbuf[-1])
+    BUILD_STATS["fill_pass_s"] = round(_time.perf_counter() - t0, 2)
     del cursor
     return offsets, posbuf[:n], n
 

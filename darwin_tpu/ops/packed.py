@@ -37,19 +37,26 @@ for _c in b"acgtACGT":
 
 def pack2(codes2: np.ndarray) -> np.ndarray:
     """Pack 2-bit codes (values 0..3) 4 per byte, code i at bits 2*(i%4).
-    Length is padded up to a multiple of 4 with zeros."""
+    Length is padded up to a multiple of 4 with zeros.
+
+    Contiguous uint32 lane math instead of 4 strided byte views: little-
+    endian, byte i of each word sits at bits 8i, so one shift-and-mask
+    chain compresses 4 codes to the low byte — ~10x the strided-view
+    throughput on the 1-core host (the 3.2 Gbp pack was 155 s)."""
     n = codes2.shape[-1]
     n4 = -(-n // 4) * 4
-    if codes2.ndim == 1:
+    if n4 == n and codes2.flags.c_contiguous:
+        buf = codes2            # aligned (genome stores pad to 128)
+    elif codes2.ndim == 1:
         buf = np.zeros(n4, np.uint8)
         buf[:n] = codes2
-        q = buf.reshape(-1, 4)
     else:
         buf = np.zeros((codes2.shape[0], n4), np.uint8)
         buf[:, :n] = codes2
-        q = buf.reshape(codes2.shape[0], -1, 4)
-    return (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
-            | (q[..., 3] << 6)).astype(np.uint8)
+    v = buf.view(np.uint32)     # little-endian: code j at bits 8j
+    w = (v | (v >> 6)) & np.uint32(0x0F000F)   # codes {0,1} -> bits 0-3,
+    w = (w | (w >> 12)) & np.uint32(0xFF)      # {2,3} -> 16-19; then low 8
+    return w.astype(np.uint8)
 
 
 def n_boundaries(bases: np.ndarray) -> np.ndarray:
@@ -86,30 +93,39 @@ def apply_n(codes: jnp.ndarray, pos_u32: jnp.ndarray,
     return jnp.where((r & 1) == 1, jnp.uint8(4), codes)
 
 
+# device_packed pads the packed buffer with this many zero bytes so row
+# gathers never clamp (a row's byte span is at most the batch row length
+# past the last real byte); zero bytes decode to code 0, reachable only
+# at positions >= the genome length, which every consumer masks.
+GATHER_PAD_BYTES = 1 << 13
+
+
 @functools.partial(jax.jit, static_argnames=("CL",))
 def gather_rows(packed, gstart_u32, CL: int):
-    """Gather (R, CL) uint8 2-bit code rows starting at arbitrary global
-    positions from the resident packed buffer (the streaming index builds'
-    row batches — no per-batch genome re-upload).  Reads past the buffer
-    end return the last byte's codes; callers mask by length."""
-    R = gstart_u32.shape[0]
-    nb = CL // 4 + 1
-    npk = packed.shape[0]
+    """Gather (R, CL) uint8 2-bit code rows starting at BYTE-ALIGNED
+    global positions (gstart % 4 == 0, the streaming index builds' row
+    batches — no per-batch genome re-upload).  ``packed`` must carry the
+    GATHER_PAD_BYTES tail (device_packed) so no row clamps.
+
+    Rows are CONTIGUOUS byte spans, so each is one vmap'd dynamic_slice —
+    a block gather with slice_sizes=(nb,).  The jnp.take-per-byte
+    formulation (plus a 33M-element realignment take_along_axis) measured
+    ~440 ms/batch on v5e; aligned block slices remove both."""
+    nb = -(-CL // 4)
     if gstart_u32.dtype != jnp.uint32:     # int32-staged bit pattern
         gstart_u32 = jax.lax.bitcast_convert_type(gstart_u32, jnp.uint32)
     b0 = (gstart_u32 >> 2).astype(jnp.int32)
-    bidx = jnp.clip(b0[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :],
-                    0, npk - 1)
-    codes = unpack2(jnp.take(packed, bidx))          # (R, 4*nb)
-    sh = (gstart_u32 & 3).astype(jnp.int32)
-    col = sh[:, None] + jnp.arange(CL, dtype=jnp.int32)[None, :]
-    return jnp.take_along_axis(codes, col, axis=1)
+    rows_b = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(packed, (s,), (nb,)))(b0)
+    return unpack2(rows_b)[:, :CL]
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def _codes5_piece(packed, bounds, base, L: int):
+def _codes5_piece_inner(packed, bounds, base, L: int):
     """(L,) uint8 5-letter codes for global positions [base, base+L):
-    unpack + N-parity overwrite.  base must be a multiple of 4."""
+    unpack + N-parity overwrite.  base must be a multiple of 4.  Reads
+    past the packed data clip to the last byte (those positions are
+    >= the data length and masked by every consumer); pos stays the TRUE
+    position so the N-parity overwrite is exact everywhere real."""
     nb = L // 4
     b0 = (base >> jnp.uint32(2)).astype(jnp.int32)
     npk = packed.shape[0]
@@ -119,14 +135,25 @@ def _codes5_piece(packed, bounds, base, L: int):
     return apply_n(codes, pos, bounds)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _paste1(dst, part, off):
-    return jax.lax.dynamic_update_slice(dst, part, (off,))
+_codes5_piece = jax.jit(_codes5_piece_inner, static_argnames=("L",))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _paste2(dst, part, c, off):
-    return jax.lax.dynamic_update_slice(dst, part[None, :], (c, off))
+@functools.partial(jax.jit, static_argnames=("L", "piece"))
+def _codes5_region(packed, bounds, base, L: int, piece: int):
+    """(L,) uint8 5-letter codes for global positions [base, base+L) in
+    ONE program: lax.map over L/piece sub-pieces bounds the decode
+    transients to one piece (~6x piece bytes) without the donated-paste
+    loop (donation does not survive the axon tunnel — each paste copied
+    the whole destination, ~0.26 s per piece at 3.2 Gbp)."""
+    nseg = L // piece
+
+    def seg(i):
+        return _codes5_piece_inner(packed, bounds,
+                                   base + i * jnp.uint32(piece), piece)
+
+    if nseg == 1:
+        return seg(jnp.uint32(0))
+    return jax.lax.map(seg, jnp.arange(nseg, dtype=jnp.uint32)).reshape(L)
 
 
 def codes5_from_packed(packed_dev, bounds_dev, total_len: int,
@@ -136,39 +163,28 @@ def codes5_from_packed(packed_dev, bounds_dev, total_len: int,
     the filter/extension gathers.  Returns the chunk_ref_codes layout:
     1-D below 2^31 elements, else (n_chunks, 2^30) chunked.
 
-    The destination is donated through every paste, so peak transient HBM
-    is one `piece` plus its decode intermediates (~6x piece = 400 MB at
-    2^26; 2^28 pieces OOM'd a 16 GB chip holding the 3.2 Gbp w=3 csr
-    table).  Positions past the packed data (the chunk padding tail) read
-    clipped bytes but every such position is >= total_len and only
-    reachable through masked padding lanes (ops/dispatch._gather_seq)."""
+    Positions past the packed data (the chunk padding tail) read clipped
+    bytes but every such position is >= total_len and only reachable
+    through masked padding lanes (ops/dispatch._gather_seq)."""
     from darwin_tpu.ops.dispatch import CHUNK_ELEMS
     assert piece % 4 == 0
 
     if total_len <= (1 << 31) - (1 << 20):
-        # quantize to 1 MB and cut power-of-two pieces so piece lengths —
-        # a static jit arg — come from a bounded set across read batches
-        # of any size (no per-batch-length recompiles)
+        # quantize to 1 MB so the region length — a static jit arg —
+        # comes from a bounded set across read batches of any size
         q = 1 << 20
         n1 = -(-total_len // q) * q
-        out = jnp.zeros((n1,), jnp.uint8)
-        off = 0
-        while off < n1:
-            rem = n1 - off                  # multiple of q, so the
-            L = min(piece, 1 << (rem.bit_length() - 1))  # pow2 floor >= q
-            part = _codes5_piece(packed_dev, bounds_dev, jnp.uint32(off), L)
-            out = _paste1(out, part, jnp.int32(off))
-            off += L
+        p = min(piece, 1 << (n1.bit_length() - 1))
+        while n1 % p:
+            p >>= 1
+        out = _codes5_region(packed_dev, bounds_dev, jnp.uint32(0), n1, p)
         return out[:total_len] if n1 != total_len else out
     n_chunks = -(-total_len // CHUNK_ELEMS)
-    out = jnp.zeros((n_chunks, CHUNK_ELEMS), jnp.uint8)
-    for c in range(n_chunks):
-        for off in range(0, CHUNK_ELEMS, piece):
-            L = min(piece, CHUNK_ELEMS - off)
-            part = _codes5_piece(packed_dev, bounds_dev,
-                                 jnp.uint32(c * CHUNK_ELEMS + off), L)
-            out = _paste2(out, part, jnp.int32(c), jnp.int32(off))
-    return out
+    chunks = [_codes5_region(packed_dev, bounds_dev,
+                             jnp.uint32(c * CHUNK_ELEMS), CHUNK_ELEMS,
+                             piece)
+              for c in range(n_chunks)]
+    return jnp.stack(chunks)
 
 
 def pad_bounds(bounds: np.ndarray, m: int) -> np.ndarray:
@@ -189,13 +205,26 @@ def pad_bounds(bounds: np.ndarray, m: int) -> np.ndarray:
 def device_packed(store):
     """One-time device upload of a GenomeStore's packed 2-bit codes +
     non-ACGT run boundaries, memoized on the store.  Returns
-    (packed_dev, bounds_dev)."""
+    (packed_dev, bounds_dev).  The packed buffer carries a
+    GATHER_PAD_BYTES zero tail so gather_rows block slices never clamp."""
     cached = getattr(store, "_packed_dev", None)
     if cached is not None:
         return cached
+    import time
+    t0 = time.perf_counter()
     packed = pack2(store.codes2)
+    packed = np.concatenate(
+        [packed, np.zeros(GATHER_PAD_BYTES, np.uint8)])
     bounds = n_boundaries(store.bases)
+    pack_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     packed_dev = jnp.asarray(packed)
     bounds_dev = jnp.asarray(bounds)
+    int(packed_dev[-1])        # sync: honest upload timing + bandwidth
+    up_s = max(time.perf_counter() - t0, 1e-9)
+    store._packed_stats = {
+        "pack_host_s": round(pack_s, 2),
+        "upload_s": round(up_s, 2),
+        "upload_mb_s": round(packed.nbytes / up_s / 1e6, 2)}
     store._packed_dev = (packed_dev, bounds_dev)
     return store._packed_dev

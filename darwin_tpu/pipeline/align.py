@@ -313,7 +313,8 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
         pipeline_depth: int = 2,
         reads_range: tuple[int, int] | None = None,
         index_layout: str | None = None,
-        mesh=None, shard_index: bool = False) -> dict:
+        mesh=None, shard_index: bool = False,
+        stats_out: dict | None = None) -> dict:
     """pipeline_depth: read batches in flight (the TPU analog of the
     reference's token-throttled TBB flow graph, software/main.cpp:607-624);
     batch i+1's device dispatches overlap batch i's host-side decode and
@@ -469,4 +470,11 @@ def run(ref_path: str, reads_path: str, do_overlap: bool,
           f"{RECOVERY['rerun_lanes'] - recov0['rerun_lanes']}", file=err)
     print(f"Time elapsed (aligning reads): "
           f"{int((time.time() - t0) * 1000)} msec", file=err)
+    if stats_out is not None:
+        # harness hook: per-stage timing sinks (profiling artifacts)
+        stats_out["align_seconds"] = round(time.time() - t0, 2)
+        stats_out["stage_seconds"] = {
+            k: round(v, 2) for k, v in sorted(
+                aligner.stage_seconds.items(), key=lambda kv: -kv[1])}
+        stats_out["counters"] = {k: int(v) for k, v in c.items()}
     return c

@@ -455,6 +455,18 @@ class ExtensionManager:
                 pos += len(padded)
         self.q_code_start = offsets
         allq = np.concatenate(bufs) if bufs else np.zeros(1, np.uint8)
+        # pad the buffer to a power of two (min 1 MB) with 'N': the buffer
+        # length is a static shape in EVERY downstream device program
+        # (codes decode, tile gathers, the fused extension dispatches), so
+        # a per-batch ragged length recompiled them all each batch — at
+        # 3.2 Gbp scale that was ~260 s/batch of XLA compiles booked to
+        # read_upload.  Reads beyond the true data are 'N', exactly what
+        # the old exact-length buffer's clipped gathers returned (the last
+        # real byte is always margin 'N').
+        n1 = max(1 << 20, 1 << int(np.ceil(np.log2(max(len(allq), 1)))))
+        if n1 != len(allq):
+            allq = np.concatenate(
+                [allq, np.full(n1 - len(allq), ord("N"), np.uint8)])
         self.q_ascii = allq          # batched decode indexes it by offset
         if self.mesh is not None:
             from darwin_tpu.genome import encode5
@@ -462,16 +474,17 @@ class ExtensionManager:
         else:
             # 2-bit packed upload + on-device decode: the tunnel moves
             # ~15 MB/s, so shipping 1-byte codes (read + RC + N margins per
-            # strand) was 22% of the 3.2 Gbp align phase; packed bytes are
-            # 4x smaller and codes5_from_packed rebuilds the identical
-            # buffer on chip (the N margins ride the boundary list).
-            # Matches the reference's upload-once DRAM seam
-            # (software/sender.cpp:4-97).
+            # strand) costs 4x the bytes; codes5_from_packed rebuilds the
+            # identical buffer on chip (the N margins and the pad tail ride
+            # the boundary list).  Matches the reference's upload-once DRAM
+            # seam (software/sender.cpp:4-97).
             from darwin_tpu.genome import encode2
             from darwin_tpu.ops import packed as PK
             pk = PK.pack2(encode2(allq))
             bounds = PK.n_boundaries(allq)
-            m = max(8, 1 << int(np.ceil(np.log2(bounds.shape[0] + 1))))
+            # floor 2048 keeps the boundary-list length — also a static
+            # shape — from recompiling across batches
+            m = max(2048, 1 << int(np.ceil(np.log2(bounds.shape[0] + 1))))
             bounds = PK.pad_bounds(bounds, m)
             self.q_codes_dev = PK.codes5_from_packed(
                 jnp.asarray(pk), jnp.asarray(bounds), len(allq))

@@ -70,11 +70,16 @@ def test_gather_rows_matches_slices(rng):
     packed_dev, _ = P.device_packed(store)
     codes2 = store.codes2
     CL = 96
-    starts = np.array([0, 1, 2, 3, 127, 128, 1531, len(codes2) - CL],
-                      np.uint32)
+    # contract: starts are byte-aligned (gstart % 4 == 0) — the streaming
+    # builds align row starts down (minimizers._packed_row_batches); the
+    # last start reads into the zero pad tail (masked positions)
+    starts = np.array([0, 4, 124, 128, 1532, (len(codes2) - CL) & ~3,
+                       (len(codes2) - 8) & ~3], np.uint32)
     rows = np.asarray(P.gather_rows(packed_dev, jnp.asarray(starts), CL))
     for i, s in enumerate(starts):
-        assert (rows[i] == codes2[s:s + CL]).all(), f"row {i} start {s}"
+        want = codes2[s:s + CL]
+        assert (rows[i][:len(want)] == want).all(), f"row {i} start {s}"
+        assert (rows[i][len(want):] == 0).all(), f"pad row {i}"
 
 
 def test_pad_bounds_parity(rng):

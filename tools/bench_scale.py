@@ -79,6 +79,19 @@ def main():
         outputs[n] = lines
         results[str(n)] = {"reads_per_s": round(len(reads) / dt, 2),
                            "seconds": round(dt, 3)}
+        if n > 1:
+            # production sharded-index seeder (hash-range shards + tiled
+            # all_to_all hit routing, parallel/shard_index.py) at the same
+            # mesh size: validates the >HBM-index path end-to-end
+            sh = Aligner(cfg, store, table=base_table, mesh=mesh,
+                         shard_index=True)
+            sh.align_batch(reads[:8])
+            t0 = time.time()
+            sh.counters = new_counters()
+            sh_lines = sh.align_batch(reads)
+            results[str(n)]["sharded_index"] = {
+                "reads_per_s": round(len(reads) / (time.time() - t0), 2),
+                "identical": sh_lines == lines}
     base = results[str(sizes[0])]["reads_per_s"]
     for n in sizes:
         r = results[str(n)]

@@ -106,10 +106,14 @@ def main():
     stages = {k: round(v, 2) for k, v in
               sorted(aligner.stage_seconds.items(),
                      key=lambda kv: -kv[1])}
+    from darwin_tpu.index.minimizers import BUILD_STATS
+    build_stages = dict(BUILD_STATS)
+    build_stages.update(getattr(store, "_packed_stats", {}))
     res = {"genome_gbp": round(store.size / 1e9, 2),
            "layout": args.layout, "window": args.window,
            "seeds_m": round(aligner.table.num_seeds / 1e6, 1),
            "build_seconds": round(build_seconds, 1),
+           "build_stages": build_stages,
            "reads": len(reads), "aligned": n_aligned, "correct_locus": n_ok,
            "align_seconds": round(dt, 1),
            "reads_per_s": round(len(reads) / dt, 2),

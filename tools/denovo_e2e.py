@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--coverage", type=float, default=8.0)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--check-subsample", type=int, default=0)
-    ap.add_argument("--out", default="DENOVO_r03.json")
+    ap.add_argument("--out", default="DENOVO_r04.json")
     ap.add_argument("--workdir", default="/tmp/denovo_e2e")
     args = ap.parse_args()
 
@@ -62,22 +62,49 @@ def main():
     print(f"simulated {len(sim)} x {args.read_len} bp reads "
           f"({args.coverage}x of {genome_bp / 1e6:.1f} Mbp)", flush=True)
 
+    # RSS timeline: sample VmRSS every second so retention shows up as a
+    # ramp correlated with batch progress, not just a peak number
+    import threading
+    rss_samples = []
+    stop_rss = threading.Event()
+
+    def _vmrss_gb():
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS:"):
+                    return int(ln.split()[1]) / 1e6
+        return 0.0
+
+    def _rss_loop():
+        t_start = time.time()
+        while not stop_rss.wait(1.0):
+            rss_samples.append((round(time.time() - t_start, 1),
+                                round(_vmrss_gb(), 2)))
+
+    threading.Thread(target=_rss_loop, daemon=True).start()
+
     cfg = Config()
     out_path = os.path.join(args.workdir, "out.mhap")
+    stats = {}
     t0 = time.time()
     with open(out_path, "w") as sink:
         run(reads_fa, reads_fa, True, cfg=cfg, out=sink,
-            reads_per_batch=args.batch)
+            reads_per_batch=args.batch, stats_out=stats)
     dt = time.time() - t0
+    stop_rss.set()
     n_lines = sum(1 for _ in open(out_path))
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     res = {
         "reads": args.reads, "read_len": args.read_len,
         "coverage": args.coverage, "genome_mbp": round(genome_bp / 1e6, 1),
         "seconds": round(dt, 1),
+        "align_seconds": stats.get("align_seconds"),
         "reads_per_s": round(args.reads / dt, 2),
         "mhap_records": n_lines // 6,   # record + 2 aligned strs, both dirs
         "peak_rss_gb": round(rss_gb, 2),
+        "stage_seconds": stats.get("stage_seconds"),
+        "rss_timeline_gb": rss_samples[::max(len(rss_samples) // 60, 1)],
+        "counters": stats.get("counters"),
     }
 
     if args.check_subsample:
