@@ -180,11 +180,28 @@ def codes5_from_packed(packed_dev, bounds_dev, total_len: int,
         out = _codes5_region(packed_dev, bounds_dev, jnp.uint32(0), n1, p)
         return out[:total_len] if n1 != total_len else out
     n_chunks = -(-total_len // CHUNK_ELEMS)
-    chunks = [_codes5_region(packed_dev, bounds_dev,
-                             jnp.uint32(c * CHUNK_ELEMS), CHUNK_ELEMS,
-                             piece)
-              for c in range(n_chunks)]
-    return jnp.stack(chunks)
+    return _codes5_chunked(packed_dev, bounds_dev, n_chunks=n_chunks,
+                           chunk=CHUNK_ELEMS, piece=piece)
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk", "piece"))
+def _codes5_chunked(packed, bounds, *, n_chunks: int, chunk: int,
+                    piece: int):
+    """(n_chunks, chunk) chunked decode in ONE program: the output is
+    allocated once and filled chunk-row by chunk-row (nested lax.map), so
+    peak HBM is output + one piece's transients — a per-chunk stack or
+    paste would double-hold the 3.2 GB buffer next to the csr table and
+    OOM the chip."""
+    nseg = chunk // piece
+
+    def chunk_body(c):
+        def seg(i):
+            base = c * jnp.uint32(chunk) + i * jnp.uint32(piece)
+            return _codes5_piece_inner(packed, bounds, base, piece)
+        return jax.lax.map(seg, jnp.arange(nseg, dtype=jnp.uint32)
+                           ).reshape(chunk)
+
+    return jax.lax.map(chunk_body, jnp.arange(n_chunks, dtype=jnp.uint32))
 
 
 def pad_bounds(bounds: np.ndarray, m: int) -> np.ndarray:
