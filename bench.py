@@ -79,14 +79,19 @@ def run_smoke(platform: str) -> str:
 def make_dispatch_bench(params, kernel_mod, T: int):
     """Shared tunnel-safe measurement harness: NBUF rotated input buffers
     per device program (the tunnel caches identical executions), rounds
-    scanned inside ONE program (RTT cannot pollute), RTT floor subtracted,
-    median of the samples reported with min/max.  Any methodology change
-    lands here once, for every GCUPS benchmark (bench.py,
-    tools/bench_generic.py).
+    scanned inside ONE program (RTT cannot pollute), and the window's
+    programs CHAINED asynchronously with a single terminal sync — host
+    round-trip latency appears once per window instead of once per
+    program (round-4 review: per-program RTT subtraction under-measured
+    in slow tunnel phases).  Any methodology change lands here once, for
+    every GCUPS benchmark (bench.py, tools/bench_generic.py).
 
-    Returns sample(n, seed) -> list of per-program GCUPS samples, so the
-    compiled program can be re-sampled across spaced windows without
-    recompiling (the self-calibration loop in main)."""
+    Returns sample(n, seed, with_trace=True) -> {"gcups", "window_s",
+    "programs"}: n chained programs measured as one long window.
+    with_trace=False runs the DP-only (no traceback) variant of the SAME
+    kernel — the full/no-trace ratio is the chip-phase-immune self-check
+    ROOFLINE.md audits (both numbers move with the shared chip's phase;
+    only a kernel regression moves their ratio)."""
     import jax
     import jax.numpy as jnp
 
@@ -131,14 +136,29 @@ def make_dispatch_bench(params, kernel_mod, T: int):
         acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, rs))
         return acc
 
+    @jax.jit
+    def rounds_notrace(qs, rs):
+        def body(acc, qr):
+            q, r = qr
+            out = kernel_mod.batch_align(
+                q, r, qlens, rlens, start_end, params,
+                with_trace=False, all_start_end=True)
+            return acc + jnp.sum(out["score"]), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), (qs, rs))
+        return acc
+
     int(rounds(qstack, rstack))  # compile + warm
+    has_notrace = hasattr(kernel_mod, "batch_align")
+    if has_notrace:
+        int(rounds_notrace(qstack, rstack))
 
     qstack_np = np.asarray(qstack)
     cells = B * T * T
 
-    def sample(n: int, seed: int = 1):
+    def sample(n: int, seed: int = 1, with_trace: bool = True):
         # fresh stacks with different values per call (the tunnel caches
         # identical executions)
+        fn = rounds if with_trace or not has_notrace else rounds_notrace
         rng2 = np.random.default_rng(seed)
         stacks = []
         for s in range(n):
@@ -148,34 +168,32 @@ def make_dispatch_bench(params, kernel_mod, T: int):
             stacks.append(jax.device_put(q2))
         jax.block_until_ready(stacks)
 
-        # estimate the host<->device round-trip floor and subtract it
-        @jax.jit
-        def tiny(x):
-            return x + 1
-        int(tiny(jnp.int32(seed)))
+        # one long window: enqueue every program, sync once on the last
+        # scalar (programs execute in enqueue order on the single device
+        # stream, so the last result completing implies all completed)
         t0 = time.perf_counter()
-        int(tiny(jnp.int32(seed + 1)))
-        rtt = time.perf_counter() - t0
-
-        times = []
-        for q2 in stacks:
-            t0 = time.perf_counter()
-            int(rounds(q2, rstack))
-            times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / NBUF)
-        return [cells / t / 1e9 for t in times]
+        accs = [fn(q2, rstack) for q2 in stacks]
+        int(accs[-1])
+        dt = max(time.perf_counter() - t0, 1e-9)
+        return {"gcups": cells * NBUF * n / dt / 1e9,
+                "window_s": round(dt, 3), "programs": n}
 
     return sample
 
 
-def measure_dispatch(params, kernel_mod, T: int, samples: int = 10) -> dict:
-    """One-shot wrapper over make_dispatch_bench: the shared tunnel's
-    phase swings are +-20%, so the median is the honest "typical" number;
-    min/max are reported alongside."""
-    vals = sorted(make_dispatch_bench(params, kernel_mod, T)(samples))
+def measure_dispatch(params, kernel_mod, T: int, samples: int = 12,
+                     chains: int = 3) -> dict:
+    """One-shot wrapper over make_dispatch_bench: ``chains`` long windows
+    of samples/chains programs each; the shared tunnel's phase swings are
+    +-20%, so the median window is the honest "typical" number, min/max
+    alongside."""
+    sample = make_dispatch_bench(params, kernel_mod, T)
+    per = max(samples // chains, 1)
+    vals = sorted(sample(per, seed=i + 1)["gcups"] for i in range(chains))
     return {
         "value": round(float(np.median(vals)), 3),
         "unit": "GCUPS",
-        "n_samples": len(vals),
+        "n_samples": chains * per,
         "min": round(vals[0], 3),
         "max": round(vals[-1], 3),
     }
@@ -203,29 +221,40 @@ def main():
     smoke = run_smoke(platform)
     sample = make_dispatch_bench(params, kernel_mod, cfg.tile_size)
 
-    # self-calibrating capture: >=3 spaced windows, each pairing a GCUPS
-    # sample with a concurrent VPU attainable-Tops probe (the exact op mix
-    # the DP kernel issues, tools/vpu_probe.py / ROOFLINE.md), so a slow
-    # shared-chip phase is visible IN the artifact as a low calib_tops with
-    # an unchanged gcups_per_top ratio — and a kernel regression as a
-    # dropped ratio.
+    # self-calibrating capture: >=3 spaced windows, each pairing the full
+    # dispatch (DP + trace + sweep) with the SAME kernel's no-trace DP and
+    # a VPU attainable-Tops probe (tools/vpu_probe.py).  The
+    # full/no-trace RATIO is the chip-phase-immune regression check: both
+    # numerator and denominator run the same kernel family seconds apart,
+    # so a slow shared-chip phase cancels; ROOFLINE.md's op audit pins the
+    # expected ratio band (full ~83 ops/cell incl. sweep vs no-trace ~47
+    # -> ~0.50-0.60 measured).  A window with in-band ratio but low
+    # absolute GCUPS is a degraded chip phase, not a kernel regression.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tools.vpu_probe import probe
 
     n_win = 3 if platform != "cpu" else 1
     per_win = 4 if platform != "cpu" else 2
+    RATIO_BAND = (0.42, 0.68)
     windows, all_vals = [], []
     for w in range(n_win):
         if w:
             time.sleep(20)
         tops = probe(modes=("max4",), samples=3)["max4"]["tops"]
-        vals = sample(per_win, seed=w + 1)
-        all_vals += vals
-        med = float(np.median(vals))
+        full = sample(per_win, seed=w + 1)
+        nt = sample(max(per_win // 2, 1), seed=100 + w, with_trace=False)
+        all_vals.append(full["gcups"])
+        ratio = full["gcups"] / nt["gcups"] if nt["gcups"] else None
         windows.append({
-            "gcups": round(med, 3),
+            "gcups": round(full["gcups"], 3),
+            "window_s": full["window_s"],
+            "notrace_gcups": round(nt["gcups"], 3),
+            "full_over_notrace": round(ratio, 3) if ratio else None,
+            "ratio_in_band": (RATIO_BAND[0] <= ratio <= RATIO_BAND[1]
+                              if ratio else None),
             "calib_tops": tops,
-            "gcups_per_top": round(med / tops, 3) if tops else None,
+            "gcups_per_top": (round(full["gcups"] / tops, 3)
+                              if tops else None),
         })
     all_vals.sort()
     gcups = float(np.median(all_vals))
@@ -235,13 +264,15 @@ def main():
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 100.0, 4),
         "smoke": smoke,
-        "n_samples": len(all_vals),
+        "n_samples": n_win * per_win,
         "min": round(all_vals[0], 3),
         "max": round(all_vals[-1], 3),
         "windows": windows,
-        "calib": "max4 int32 Tops (tools/vpu_probe.py) sampled "
-                 "immediately before each window; ROOFLINE.md's attainable "
-                 "full-dispatch ceiling is ~11-13 GCUPS/Top",
+        "calib": "per window: chained long-window sampling (one sync per "
+                 "window, RTT-immune); full/no-trace ratio of the same "
+                 "kernel is the chip-phase-immune regression check "
+                 f"(ROOFLINE.md band {RATIO_BAND}); calib_tops = max4 "
+                 "int32 Tops (tools/vpu_probe.py, chained)",
     }))
 
 

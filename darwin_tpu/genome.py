@@ -92,6 +92,9 @@ class GenomeStore:
         self._parts: List[np.ndarray] = [np.full(WORD_SIZE, ord("N"), np.uint8)]
         self._size = WORD_SIZE
         self._bases: np.ndarray | None = None
+        self._packed_dev = None        # ops/packed.device_packed memo
+        self._packed_stats: dict = {}
+        self._bases_margin: tuple | None = None   # (margin, array) memo
 
     def add_chromosome(self, name: str, seq_bytes: np.ndarray) -> Chromosome:
         padded = pad_to(seq_bytes, WORD_SIZE)
@@ -115,12 +118,39 @@ class GenomeStore:
         self._parts.append(padded)
         self._size += len(padded)
         self._bases = None
+        # invalidate derived device/host caches other modules memoize on
+        # the store (ops/packed.device_packed; bases_with_margin) — a
+        # stale packed genome after add_chromosome would silently corrupt
+        # every downstream decode
+        self._packed_dev = None
+        self._packed_stats = {}
+        self._bases_margin = None
         return chrom
 
     def finalize(self):
         if self._bases is None:
             self._bases = np.concatenate(self._parts)
+            # collapse the per-chromosome parts into the concatenated
+            # buffer: keeping both doubled resident memory for the life
+            # of the store (9 GB peak RSS in the 5k-read de novo run came
+            # in large part from duplicate genome copies)
+            self._parts = [self._bases]
         return self
+
+    def bases_with_margin(self, margin: int) -> np.ndarray:
+        """``bases`` extended by ``margin`` trailing 'N' bytes, memoized.
+
+        The extension decode paths index up to ``4 * large_tile_long``
+        past the genome end; rebuilding this concat per read batch was a
+        full-genome host copy each batch (the dominant unexplained
+        read_upload seconds at 3.2 Gbp)."""
+        cached = self._bases_margin
+        if cached is not None and cached[0] == margin:
+            return cached[1]
+        arr = np.concatenate(
+            [self.bases, np.full(margin, ord("N"), np.uint8)])
+        self._bases_margin = (margin, arr)
+        return arr
 
     @property
     def bases(self) -> np.ndarray:

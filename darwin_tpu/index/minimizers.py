@@ -128,8 +128,11 @@ CROWS = 128              # rows per device call (host-uploaded rows)
 # each).  32 Mbp/dispatch puts a whole-genome pass at ~100 dispatches.
 CROWS_PACKED = 2048
 
-# sub-phase wall times of the most recent streaming build (csr), for
-# artifact stage tables (tools/bigref_e2e.py); cleared per build
+# sub-phase wall times of the most recent streaming build, for artifact
+# stage tables (tools/bigref_e2e.py).  Each build populates a FRESH dict
+# and rebinds this module global to it (interleaved builds cannot clobber
+# each other's timings); the same dict is also returned to the caller
+# (build_seed_table attaches it to the SeedTable as .build_stats).
 BUILD_STATS: dict = {}
 
 
@@ -357,6 +360,16 @@ def _batch_rows(packed_dev) -> int:
     return CROWS_PACKED
 
 
+def _resolve_packed(packed_dev, need_byte: int):
+    """packed_dev may be a device array or a provider callable
+    (ops/packed.device_packed_streaming): calling it guarantees bytes
+    [0, need_byte) are uploaded and returns the current buffer handle —
+    the hook that overlaps the genome upload with the first build pass."""
+    if callable(packed_dev):
+        return packed_dev(need_byte)
+    return packed_dev
+
+
 def _packed_row_batches(seqs, k: int, w: int, packed_dev=None):
     """Shared streaming-build work list: yield (rows, meta, resume0)
     batches as device arrays — rows (R, CL) uint8 2-bit codes, meta the
@@ -424,8 +437,15 @@ def _packed_row_batches(seqs, k: int, w: int, packed_dev=None):
                 meta[META_FIRST, i] = 1
         resume0 = 1 if batch[0][1] != 0 else 0
         meta_dev = jnp.asarray(meta)
-        rows = (jnp.asarray(rows_np) if packed_dev is None else
-                gather_rows(packed_dev, meta_dev[META_GSTART], CL))
+        if packed_dev is None:
+            rows = jnp.asarray(rows_np)
+        else:
+            # rows ascend globally, so the last row bounds the byte need
+            si, s = batch[-1]
+            last_o = (max(s - halo, 0) & ~3) + seqs[si][2]
+            need = (last_o >> 2) + (-(-CL // 4))
+            rows = gather_rows(_resolve_packed(packed_dev, need),
+                               meta_dev[META_GSTART], CL)
         yield rows, meta_dev, jnp.int32(resume0)
 
 
@@ -486,6 +506,11 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int,
     with a larger cap; detection is conservative — the final batch's slot
     tail must also fit).
     """
+    import time as _time
+    global BUILD_STATS
+    stats: dict = {}
+    BUILD_STATS = stats      # per-call isolation (see BUILD_STATS doc)
+    t0 = _time.perf_counter()
     slot_len = _batch_rows(packed_dev) * _row_batch_len(k, w)
     buf_h = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
     buf_p = jnp.full((cap + slot_len,), 0xFFFFFFFF, jnp.uint32)
@@ -507,9 +532,12 @@ def scan_sorted_pairs_streaming(seqs, k: int, w: int, cap: int,
         raise ValueError(
             f"{n} seeds overflow a single int32-indexed pair table; use "
             "the hash-sharded index (parallel/shard_index.py)")
+    stats["scan_pass_s"] = round(_time.perf_counter() - t0, 2)
     if n > cap:        # dynamic_update_slice clamps: data was overwritten
         return None, None, -n
+    t0 = _time.perf_counter()
     sh, sp = _sort_pairs(buf_h, buf_p)
+    stats["sort_s"] = round(_time.perf_counter() - t0, 2)
     return sh[:n], sp[:n], n
 
 
@@ -595,7 +623,9 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
         raise ValueError("CSR bucket array gated at 4^14 entries (1 GiB)")
     n_buckets = 1 << (2 * k)
     import time as _time
-    BUILD_STATS.clear()
+    global BUILD_STATS
+    stats: dict = {}
+    BUILD_STATS = stats      # rebind, never clear: per-call isolation
     t0 = _time.perf_counter()
 
     counts = jnp.zeros((n_buckets + 1,), jnp.int32)
@@ -611,7 +641,7 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
     # (this fetch is also the count pass's sync point)
     n = int(np.asarray(jnp.stack(nems)).astype(np.int64).sum()) if nems \
         else 0
-    BUILD_STATS["count_pass_s"] = round(_time.perf_counter() - t0, 2)
+    stats["count_pass_s"] = round(_time.perf_counter() - t0, 2)
     t0 = _time.perf_counter()
     if n >= (1 << 31):
         raise ValueError(
@@ -631,9 +661,9 @@ def build_csr_streaming(seqs, k: int, w: int, packed_dev=None):
     # execution bleeds into whatever device op the caller runs next
     # (round 4 measured it as ~230 s of phantom "read_upload")
     int(posbuf[-1])
-    BUILD_STATS["fill_pass_s"] = round(_time.perf_counter() - t0, 2)
+    stats["fill_pass_s"] = round(_time.perf_counter() - t0, 2)
     del cursor
-    return offsets, posbuf[:n], n
+    return offsets, posbuf[:n], n, stats
 
 
 def scan_sorted_pairs_device(seqs, k: int, w: int, packed_dev=None):

@@ -202,12 +202,21 @@ def build_seed_table(store: GenomeStore, cfg,
                 f"csr layout supports seed_size <= 14 (the 4^{k} "
                 "bucket-offset array would exceed 1 GiB); use the "
                 "pairs layout")
-        seqs = [(store.codes2[c.start:c.start + c.length],
-                 c.length_unpadded, c.start) for c in store.chromosomes]
-        from darwin_tpu.ops.packed import device_packed
-        packed_dev, _ = device_packed(store)
-        offsets, positions, _n = build_csr_streaming(
-            seqs, k, w, packed_dev=packed_dev)
+        # codes2 slots are None: with a resident packed genome the row
+        # batches gather on device, and materializing store.codes2 per
+        # chromosome was a full-genome host encode each (seqs carry only
+        # lengths + global starts)
+        seqs = [(None, c.length_unpadded, c.start)
+                for c in store.chromosomes]
+        # the provider packs/uploads the genome in pieces ON DEMAND as the
+        # count pass consumes row batches — host pack, tunnel transfer and
+        # the device count scan overlap as a 3-stage stream instead of
+        # serializing (the 3.2 Gbp build's 650 s of pack+upload now hides
+        # under the count pass and vice versa)
+        from darwin_tpu.ops.packed import device_packed_streaming
+        provider = device_packed_streaming(store)
+        offsets, positions, _n, _stats = build_csr_streaming(
+            seqs, k, w, packed_dev=provider)
         return SeedTable(
             sorted_hashes=None,
             positions=positions,
@@ -233,10 +242,11 @@ def build_seed_table(store: GenomeStore, cfg,
         method = ("device" if 0 < store.size <= DEVICE_BUILD_MAX_BASES
                   else "stream" if store.size > 0 else "host")
     if method in ("device", "stream"):
-        seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded,
-                 c.start) for c in store.chromosomes]
-        from darwin_tpu.ops.packed import device_packed
-        packed_dev, _ = device_packed(store)
+        # codes2 slots unused when rows gather from the packed genome
+        seqs = [(None, c.length_unpadded, c.start)
+                for c in store.chromosomes]
+        from darwin_tpu.ops.packed import device_packed_streaming
+        packed_dev = device_packed_streaming(store)
         try:
             if method == "device":
                 sh, sp = scan_sorted_pairs_device(seqs, k, w,

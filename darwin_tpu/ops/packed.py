@@ -59,16 +59,31 @@ def pack2(codes2: np.ndarray) -> np.ndarray:
     return w.astype(np.uint8)
 
 
-def n_boundaries(bases: np.ndarray) -> np.ndarray:
+def n_boundaries(bases: np.ndarray,
+                 chunk: int = 256 << 20) -> np.ndarray:
     """Run boundaries of non-ACGT bytes: uint32 [s0, e0, s1, e1, ...] with
-    position p non-ACGT iff an odd number of boundaries are <= p."""
-    isn = ~_ACGT_MASK[bases]
-    d = np.diff(isn.astype(np.int8))
-    starts = np.flatnonzero(d == 1) + 1
-    ends = np.flatnonzero(d == -1) + 1
-    if isn[0]:
-        starts = np.concatenate([[0], starts])
-    if isn[-1]:
+    position p non-ACGT iff an odd number of boundaries are <= p.
+
+    Chunked: the whole-array formulation held two genome-sized temporaries
+    (bool mask + int8 diff) — ~6.4 GB of transient host RAM at 3.2 Gbp."""
+    starts_l, ends_l = [], []
+    prev = False               # isn of the last byte of the previous chunk
+    for a in range(0, len(bases), chunk):
+        seg = bases[a:a + chunk]
+        isn = ~_ACGT_MASK[seg]
+        d = np.diff(isn.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1 + a
+        ends = np.flatnonzero(d == -1) + 1 + a
+        if isn[0] and not prev:
+            starts = np.concatenate([[a], starts])
+        elif prev and not isn[0]:
+            ends = np.concatenate([[a], ends])
+        starts_l.append(starts)
+        ends_l.append(ends)
+        prev = bool(isn[-1])
+    starts = np.concatenate(starts_l) if starts_l else np.zeros(0, np.int64)
+    ends = np.concatenate(ends_l) if ends_l else np.zeros(0, np.int64)
+    if prev:
         ends = np.concatenate([ends, [len(bases)]])
     out = np.empty(2 * len(starts), np.uint32)
     out[0::2] = starts
@@ -112,6 +127,12 @@ def gather_rows(packed, gstart_u32, CL: int):
     formulation (plus a 33M-element realignment take_along_axis) measured
     ~440 ms/batch on v5e; aligned block slices remove both."""
     nb = -(-CL // 4)
+    # the pad tail must exceed any row byte span, or end-of-genome rows
+    # silently clamp to shifted data (dynamic_slice clamps, no error);
+    # fails loudly here if CHUNK/_row_batch_len ever outgrow the pad
+    assert nb <= GATHER_PAD_BYTES, (
+        f"row byte span {nb} exceeds GATHER_PAD_BYTES "
+        f"{GATHER_PAD_BYTES}; raise the pad in ops/packed.py")
     if gstart_u32.dtype != jnp.uint32:     # int32-staged bit pattern
         gstart_u32 = jax.lax.bitcast_convert_type(gstart_u32, jnp.uint32)
     b0 = (gstart_u32 >> 2).astype(jnp.int32)
@@ -218,6 +239,67 @@ def pad_bounds(bounds: np.ndarray, m: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # per-store device handle
 # ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _paste_piece(buf, piece, off):
+    return jax.lax.dynamic_update_slice(buf, piece, (off,))
+
+
+def device_packed_streaming(store, piece_bytes: int = 64 << 20):
+    """Piece-streamed variant of device_packed for the 3-stage index
+    build overlap (VERDICT r4 ask #5): returns ``ensure(need_byte)`` — a
+    callable the streaming builds use as their packed_dev provider.
+
+    ``ensure(b)`` guarantees packed bytes [0, b) are resident on device
+    and returns the current device buffer handle.  Each piece is packed
+    on the host (encode2 + pack2 of a bases slice — never the full-genome
+    codes2 temporary), device_put WITHOUT a sync, and pasted into the
+    full buffer by a donated dynamic_update_slice, so piece k's tunnel
+    transfer and the caller's device passes over pieces < k run while
+    the host packs piece k+1.  ``ensure(None)`` completes the upload and
+    memoizes (packed_dev, bounds_dev) on the store exactly like
+    device_packed (same buffer bytes: tests/test_packed_build.py).
+    """
+    cached = getattr(store, "_packed_dev", None)
+    if cached is not None:
+        return lambda need=None: cached[0]
+    import time
+    nbytes = -(-store.size // 4)
+    assert store.size % 4 == 0, "WORD_SIZE padding keeps stores 4-aligned"
+    t0 = time.perf_counter()
+    bounds_dev = jnp.asarray(n_boundaries(store.bases))
+    stats = {"bounds_host_s": round(time.perf_counter() - t0, 2),
+             "pack_host_s": 0.0, "upload_enqueue_s": 0.0,
+             "n_pieces": 0, "streamed": True}
+    store._packed_stats = stats
+    state = {"buf": jnp.zeros(nbytes + GATHER_PAD_BYTES, jnp.uint8),
+             "done": 0}
+    bases = store.bases
+
+    def ensure(need_byte=None):
+        need = nbytes if need_byte is None else min(need_byte, nbytes)
+        while state["done"] < need:
+            off = state["done"]
+            pb = min(piece_bytes, nbytes - off)
+            t0 = time.perf_counter()
+            from darwin_tpu.genome import encode2
+            piece = pack2(encode2(bases[4 * off:4 * (off + pb)]))
+            t1 = time.perf_counter()
+            stats["pack_host_s"] = round(
+                stats["pack_host_s"] + t1 - t0, 2)
+            piece_dev = jnp.asarray(piece)        # async transfer
+            state["buf"] = _paste_piece(state["buf"], piece_dev,
+                                        jnp.int32(off))
+            stats["upload_enqueue_s"] = round(
+                stats["upload_enqueue_s"] + time.perf_counter() - t1, 2)
+            stats["n_pieces"] += 1
+            state["done"] = off + pb
+        if state["done"] >= nbytes and store._packed_dev is None:
+            store._packed_dev = (state["buf"], bounds_dev)
+        return state["buf"]
+
+    return ensure
+
 
 def device_packed(store):
     """One-time device upload of a GenomeStore's packed 2-bit codes +

@@ -37,15 +37,22 @@ class SeedResult:
 
 class Seeder:
     def __init__(self, table: SeedTable, cfg, a_cap: int = 8192,
-                 hit_cap: int = 512, mesh=None):
+                 hit_cap: int | None = None, mesh=None):
         """mesh: optional jax.sharding.Mesh — shards the seed table by
         hash range across devices (parallel/shard_index.py) and runs the
         sharded D-SOFT, with hits routed to the read's owner by one tiled
-        all_to_all.  Results are bit-identical to the replicated path."""
+        all_to_all.  Results are bit-identical to the replicated path.
+
+        hit_cap default: 512 on the single-device path (the dsoft_count
+        pre-pass sizes it exactly before the first fused dispatch, so a
+        small floor never retries), 8192 on the mesh path, which still
+        uses the overflow-retry loop — a 512 start there would pay extra
+        retries and recompiles of the large sharded program."""
         self.table = table if mesh is not None else table.ensure_lut()
         self.cfg = cfg
         self.a_cap = a_cap
-        self.hit_cap = hit_cap
+        self.hit_cap = hit_cap if hit_cap is not None else (
+            8192 if mesh is not None else 512)
         self.max_occ = (cfg.max_bucket_occupancy
                         or table.kmer_max_occurence)
         self.mesh = mesh
@@ -67,9 +74,13 @@ class Seeder:
         else:
             self.sharded_table = None
 
-    def seed_batch(self, reads) -> SeedResult:
+    def seed_batch(self, reads, stage_seconds: dict | None = None
+                   ) -> SeedResult:
+        """stage_seconds: per-call timing sink (pipelined callers pass a
+        local dict and merge; falls back to the shared attribute)."""
         import time as _time
-        tacc = self.stage_seconds
+        tacc = stage_seconds if stage_seconds is not None \
+            else self.stage_seconds
         _t = _time.perf_counter
 
         def mark(key, t0):

@@ -524,7 +524,7 @@ def test_streaming_builds_past_int32_chromosome_starts(rng):
     got = list(zip(np.asarray(sh).tolist(), np.asarray(sp).tolist()))
     assert got == want
 
-    offs, pos, n2 = mz.build_csr_streaming(seqs, k, w)
+    offs, pos, n2, _ = mz.build_csr_streaming(seqs, k, w)
     assert n2 == len(want)
     offs = np.asarray(offs)
     pos = np.asarray(pos)

@@ -8,6 +8,13 @@ positions ride uint32 end-to-end.  Minimizer window w=9 keeps the (hash,
 position) table within one v5e HBM next to the genome (w=3 would need the
 hash-sharded index over multiple chips, parallel/shard_index.py).
 
+The align loop is PIPELINED like the production run() (and the reference's
+token flow graph, software/main.cpp:590-624): batch 0 runs alone so the
+cold capture (compiles + one-time uploads) is cleanly attributed, then two
+batches stay in flight so batch k+1's upload/seeding hides behind batch
+k's extension/decode.  The artifact carries cold/warm stage tables and
+compile_s so every second is attributed in-artifact.
+
 Run: python tools/bigref_e2e.py [--gbp 3.2] [--reads 512]
 (takes ~10-20 min through the axon tunnel: ~10 GB of one-time uploads)
 """
@@ -46,6 +53,8 @@ def main():
                     help="seed-table layout: csr (bucket offsets + "
                          "positions, ~half the HBM) is what fits the "
                          "DEFAULT w=3 index of a 3.2 Gbp genome on chip")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="read batches in flight after the cold batch")
     args = ap.parse_args()
 
     from darwin_tpu.config import Config
@@ -83,11 +92,56 @@ def main():
     sim = simulate_reads(store, args.reads, args.read_len, seed=9)
     reads = [make_read(n, s) for n, s, _ in sim]
 
+    res = {"genome_gbp": round(store.size / 1e9, 2),
+           "layout": args.layout, "window": args.window,
+           "seeds_m": round(aligner.table.num_seeds / 1e6, 1),
+           "build_seconds": round(build_seconds, 1),
+           "build_stages": _build_stages(store)}
+    res.update(align_pipelined(aligner, reads, args.batch,
+                               pipeline_depth=args.pipeline_depth))
+    print(json.dumps(res))
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+
+
+def _build_stages(store):
+    from darwin_tpu.index.minimizers import BUILD_STATS
+    build_stages = dict(BUILD_STATS)
+    build_stages.update(getattr(store, "_packed_stats", None) or {})
+    return build_stages
+
+
+def align_pipelined(aligner, reads, batch_size: int,
+                    pipeline_depth: int = 2, tol: int = 32,
+                    check_locus: bool = True,
+                    collect_lines: list | None = None) -> dict:
+    """Run the align phase with overlapped batches and return the stats
+    block for the artifact.
+
+    Batch 0 runs ALONE so the cold capture (XLA compiles, one-time genome
+    decode) lands in stage_seconds_cold unmixed; the remaining batches
+    keep ``pipeline_depth`` in flight (the reference's token-throttled
+    overlap, software/main.cpp:590-624): batch k+1's read upload/seeding
+    dispatches while batch k's results fetch and decode on the host.
+    Counters are per-batch dicts merged in completion order (the same
+    contract as pipeline.align.run)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from darwin_tpu.pipeline.align import compile_seconds, new_counters
+
+    batches = [reads[b:b + batch_size]
+               for b in range(0, len(reads), batch_size)]
     n_ok = n_aligned = 0
-    t0 = time.time()
-    for b in range(0, len(reads), args.batch):
-        batch = reads[b:b + args.batch]
-        lines = aligner.align_batch(batch)
+    merged = new_counters()
+
+    def check(batch, lines):
+        nonlocal n_ok, n_aligned
+        if collect_lines is not None:
+            collect_lines.extend(lines)
+        if not check_locus:      # overlap-mode callers count lines only
+            n_aligned += len(lines)
+            return
         best = {}
         for ln in lines:
             f = ln.split("\t")
@@ -98,30 +152,64 @@ def main():
             n_aligned += 1
             chrom, pos = best[r.name]
             want_chrom, want_pos = r.name.split("_")[-3:-1]
-            if chrom == want_chrom and abs(int(want_pos) - (pos - 1)) <= 32:
+            if chrom == want_chrom and abs(int(want_pos) - (pos - 1)) <= tol:
                 n_ok += 1
-        print(f"  batch {b // args.batch}: aligned {n_aligned}, "
-              f"correct {n_ok} ({time.time() - t0:.0f}s)", flush=True)
+
+    compile0 = compile_seconds()
+    t0 = time.time()
+    cnt0 = new_counters()
+    check(batches[0], aligner.align_batch(batches[0], cnt0))
+    for k, v in cnt0.items():
+        merged[k] += v
+    t_cold = time.time() - t0
+    print(f"  batch 0 (cold): aligned {n_aligned}, correct {n_ok} "
+          f"({t_cold:.0f}s)", flush=True)
+
+    with ThreadPoolExecutor(max_workers=max(pipeline_depth, 1)) as pool:
+        inflight = deque()
+
+        def drain():
+            nonlocal n_ok, n_aligned
+            j, fut, cnt = inflight.popleft()
+            check(batches[j], fut.result())
+            for k, v in cnt.items():
+                merged[k] += v
+            print(f"  batch {j}: aligned {n_aligned}, correct {n_ok} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+        for j in range(1, len(batches)):
+            cnt = new_counters()
+            inflight.append(
+                (j, pool.submit(aligner.align_batch, batches[j], cnt), cnt))
+            if len(inflight) >= max(pipeline_depth, 1):
+                drain()
+        while inflight:
+            drain()
     dt = time.time() - t0
-    stages = {k: round(v, 2) for k, v in
-              sorted(aligner.stage_seconds.items(),
-                     key=lambda kv: -kv[1])}
-    from darwin_tpu.index.minimizers import BUILD_STATS
-    build_stages = dict(BUILD_STATS)
-    build_stages.update(getattr(store, "_packed_stats", {}))
-    res = {"genome_gbp": round(store.size / 1e9, 2),
-           "layout": args.layout, "window": args.window,
-           "seeds_m": round(aligner.table.num_seeds / 1e6, 1),
-           "build_seconds": round(build_seconds, 1),
-           "build_stages": build_stages,
-           "reads": len(reads), "aligned": n_aligned, "correct_locus": n_ok,
-           "align_seconds": round(dt, 1),
-           "reads_per_s": round(len(reads) / dt, 2),
-           "stage_seconds": stages,
-           "counters": {k: int(v) for k, v in aligner.counters.items()}}
-    print(json.dumps(res))
-    with open(args.out, "w") as f:
-        json.dump(res, f, indent=1)
+
+    total = dict(aligner.stage_seconds)
+    cold = dict(aligner.stage_seconds_cold)
+    warm = {k: v - cold.get(k, 0.0) for k, v in total.items()}
+    warm_reads = len(reads) - len(batches[0])
+    out = {
+        "reads": len(reads), "aligned": n_aligned, "correct_locus": n_ok,
+        "align_seconds": round(dt, 1),
+        "reads_per_s": round(len(reads) / dt, 2),
+        "pipeline_depth": pipeline_depth,
+        "cold_batch_seconds": round(t_cold, 1),
+        "warm_reads_per_s": round(warm_reads / max(dt - t_cold, 1e-9), 2),
+        "compile_s": round(compile_seconds() - compile0, 1),
+        "seed_s_per_read_warm": round(
+            warm.get("seed", 0.0) / max(warm_reads, 1), 4),
+        "stage_seconds": {k: round(v, 2) for k, v in sorted(
+            total.items(), key=lambda kv: -kv[1])},
+        "stage_seconds_cold": {k: round(v, 2) for k, v in sorted(
+            cold.items(), key=lambda kv: -kv[1])},
+        "stage_seconds_warm": {k: round(v, 2) for k, v in sorted(
+            warm.items(), key=lambda kv: -kv[1])},
+        "counters": {k: int(v) for k, v in merged.items()},
+    }
+    return out
 
 
 if __name__ == "__main__":

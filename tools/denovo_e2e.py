@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--coverage", type=float, default=8.0)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--check-subsample", type=int, default=0)
-    ap.add_argument("--out", default="DENOVO_r04.json")
+    ap.add_argument("--out", default="DENOVO_r05.json")
     ap.add_argument("--workdir", default="/tmp/denovo_e2e")
     args = ap.parse_args()
 
@@ -103,6 +103,9 @@ def main():
         "mhap_records": n_lines // 6,   # record + 2 aligned strs, both dirs
         "peak_rss_gb": round(rss_gb, 2),
         "stage_seconds": stats.get("stage_seconds"),
+        "stage_seconds_cold": stats.get("stage_seconds_cold"),
+        "stage_seconds_warm": stats.get("stage_seconds_warm"),
+        "compile_s": stats.get("compile_s"),
         "rss_timeline_gb": rss_samples[::max(len(rss_samples) // 60, 1)],
         "counters": stats.get("counters"),
     }

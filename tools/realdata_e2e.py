@@ -1,4 +1,4 @@
-"""Realistic-data artifact (REALDATA_r04): repeat-structured genome +
+"""Realistic-data artifact (REALDATA_r05): repeat-structured genome +
 ONT-like reads, guided and overlap configs.
 
 BASELINE.json's real-data configs (E. coli K-12 PacBio, human chr21 ONT)
@@ -17,6 +17,7 @@ Run: python tools/realdata_e2e.py [--mbp 100] [--reads 512]
 import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 from darwin_tpu.utils.platform import force_platform_from_env
 force_platform_from_env()
 
@@ -33,15 +34,15 @@ def main():
     ap.add_argument("--reads", type=int, default=512)
     ap.add_argument("--overlap-reads", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--out", default="REALDATA_r04.json")
+    ap.add_argument("--out", default="REALDATA_r05.json")
     args = ap.parse_args()
 
     from darwin_tpu.config import Config
     from darwin_tpu.genome import GenomeStore, make_read
-    from darwin_tpu.pipeline.align import (Aligner, enable_compile_cache,
-                                           new_counters)
+    from darwin_tpu.pipeline.align import Aligner, enable_compile_cache
     from darwin_tpu.utils.simulate import ont_lengths, simulate_reads
     from darwin_tpu.utils.synthgenome import repeat_genome
+    from bigref_e2e import align_pipelined
 
     enable_compile_cache()
     rng = np.random.default_rng(42)
@@ -66,42 +67,16 @@ def main():
     aligner = Aligner(cfg, store)
     build_s = time.time() - t0
 
-    cnt = new_counters()
-    n_ok = n_aligned = 0
-    t0 = time.time()
-    for b in range(0, len(reads), args.batch):
-        batch = reads[b:b + args.batch]
-        lines = aligner.align_batch(batch, cnt)
-        best = {}
-        for ln in lines:
-            f = ln.split("\t")
-            best.setdefault(f[0], (f[2], int(f[3])))
-        for r in batch:
-            if r.name not in best:
-                continue
-            n_aligned += 1
-            chrom, pos = best[r.name]
-            want_chrom, want_pos = r.name.split("_")[-3:-1]
-            if chrom == want_chrom and abs(int(want_pos) - (pos - 1)) <= 64:
-                n_ok += 1
-        print(f"  guided batch {b // args.batch}: aligned {n_aligned} "
-              f"correct {n_ok} ({time.time() - t0:.0f}s)", flush=True)
-    dt = time.time() - t0
-    res["guided"] = {
-        "reads": len(reads),
-        "read_len_mean": int(lens.mean()), "read_len_max": int(lens.max()),
-        "build_seconds": round(build_s, 1),
-        "align_seconds": round(dt, 1),
-        "reads_per_s": round(len(reads) / dt, 2),
-        "aligned": n_aligned, "correct_locus": n_ok,
-        "stage_seconds": {k: round(v, 2) for k, v in sorted(
-            aligner.stage_seconds.items(), key=lambda kv: -kv[1])},
-        "counters": {k: int(v) for k, v in cnt.items()},
-        "capped_bucket_frac": round(
-            cnt["num_capped_buckets"]
-            / max(cnt["num_queried_buckets"]
-                  + cnt["num_capped_buckets"], 1), 4),
-    }
+    g = align_pipelined(aligner, reads, args.batch, tol=64)
+    g["read_len_mean"] = int(lens.mean())
+    g["read_len_max"] = int(lens.max())
+    g["build_seconds"] = round(build_s, 1)
+    cnt = g["counters"]
+    g["capped_bucket_frac"] = round(
+        cnt["num_capped_buckets"]
+        / max(cnt["num_queried_buckets"]
+              + cnt["num_capped_buckets"], 1), 4)
+    res["guided"] = g
     print(json.dumps(res["guided"]), flush=True)
 
     # ---- overlap mode: all-vs-all of an ONT read set from the genome ----
@@ -119,29 +94,16 @@ def main():
     t0 = time.time()
     ov = Aligner(cfg2, rstore)
     ov_build_s = time.time() - t0
-    cnt2 = new_counters()
-    n_lines = 0
-    t0 = time.time()
-    for b in range(0, len(ov_reads), args.batch):
-        lines = ov.align_batch(ov_reads[b:b + args.batch], cnt2)
-        n_lines += len(lines)
-        print(f"  overlap batch {b // args.batch}: {n_lines} lines "
-              f"({time.time() - t0:.0f}s)", flush=True)
-    dt2 = time.time() - t0
-    res["overlap"] = {
-        "reads": n_ov,
-        "build_seconds": round(ov_build_s, 1),
-        "align_seconds": round(dt2, 1),
-        "reads_per_s": round(n_ov / dt2, 2),
-        "mhap_records": n_lines // 6,
-        "stage_seconds": {k: round(v, 2) for k, v in sorted(
-            ov.stage_seconds.items(), key=lambda kv: -kv[1])},
-        "counters": {k: int(v) for k, v in cnt2.items()},
-        "capped_bucket_frac": round(
-            cnt2["num_capped_buckets"]
-            / max(cnt2["num_queried_buckets"]
-                  + cnt2["num_capped_buckets"], 1), 4),
-    }
+    o = align_pipelined(ov, ov_reads, args.batch, check_locus=False)
+    o["build_seconds"] = round(ov_build_s, 1)
+    o["mhap_records"] = o.pop("aligned") // 6
+    o.pop("correct_locus", None)
+    cnt2 = o["counters"]
+    o["capped_bucket_frac"] = round(
+        cnt2["num_capped_buckets"]
+        / max(cnt2["num_queried_buckets"]
+              + cnt2["num_capped_buckets"], 1), 4)
+    res["overlap"] = o
     print(json.dumps(res))
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
