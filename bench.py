@@ -234,8 +234,12 @@ def main():
     from tools.vpu_probe import probe
 
     n_win = 3 if platform != "cpu" else 1
-    per_win = 4 if platform != "cpu" else 2
-    RATIO_BAND = (0.42, 0.68)
+    # ~0.8 s of chained compute per window: the per-window fixed overhead
+    # (~20 ms enqueue ramp, measured by the window-size sweep in
+    # ROOFLINE.md section 5) amortizes below 3%
+    per_win = 16 if platform != "cpu" else 2
+    RATIO_BAND = (0.40, 0.80)
+    NOTRACE_OPS_PER_CELL = 47          # ROOFLINE.md section 2 audit
     windows, all_vals = [], []
     for w in range(n_win):
         if w:
@@ -245,6 +249,11 @@ def main():
         nt = sample(max(per_win // 2, 1), seed=100 + w, with_trace=False)
         all_vals.append(full["gcups"])
         ratio = full["gcups"] / nt["gcups"] if nt["gcups"] else None
+        # op-bound consistency: no-trace GCUPS x audited ops/cell vs the
+        # independently probed Tops.  >= ~0.9 rules out a DP regression;
+        # > 1 is the degraded-phase signature (the probe's serial-ALU mix
+        # degrades harder than the DP mix — ROOFLINE.md section 5)
+        implied = nt["gcups"] * NOTRACE_OPS_PER_CELL / 1e3
         windows.append({
             "gcups": round(full["gcups"], 3),
             "window_s": full["window_s"],
@@ -253,6 +262,9 @@ def main():
             "ratio_in_band": (RATIO_BAND[0] <= ratio <= RATIO_BAND[1]
                               if ratio else None),
             "calib_tops": tops,
+            "notrace_implied_tops": round(implied, 3),
+            "kernel_vs_probe": (round(implied / tops, 3) if tops
+                                else None),
             "gcups_per_top": (round(full["gcups"] / tops, 3)
                               if tops else None),
         })
@@ -268,11 +280,13 @@ def main():
         "min": round(all_vals[0], 3),
         "max": round(all_vals[-1], 3),
         "windows": windows,
-        "calib": "per window: chained long-window sampling (one sync per "
-                 "window, RTT-immune); full/no-trace ratio of the same "
-                 "kernel is the chip-phase-immune regression check "
-                 f"(ROOFLINE.md band {RATIO_BAND}); calib_tops = max4 "
-                 "int32 Tops (tools/vpu_probe.py, chained)",
+        "calib": "per window: chained ~0.8s windows (one sync each, "
+                 "RTT-immune).  Primary check: full/no-trace ratio of "
+                 f"the same kernel, band {RATIO_BAND} (audit predicts "
+                 "~0.57) — phase cancels, a trace/sweep regression drops "
+                 "it.  kernel_vs_probe = no-trace GCUPS x 47 ops/cell / "
+                 "probed Tops: >= ~0.9 rules out a DP regression; > 1 is "
+                 "the degraded-phase signature (ROOFLINE.md section 5)",
     }))
 
 

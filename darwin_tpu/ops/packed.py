@@ -305,25 +305,17 @@ def device_packed(store):
     """One-time device upload of a GenomeStore's packed 2-bit codes +
     non-ACGT run boundaries, memoized on the store.  Returns
     (packed_dev, bounds_dev).  The packed buffer carries a
-    GATHER_PAD_BYTES zero tail so gather_rows block slices never clamp."""
+    GATHER_PAD_BYTES zero tail so gather_rows block slices never clamp.
+
+    Implemented over the piece-streamed provider: host pack overlaps the
+    tunnel transfer piece by piece, and the full-genome codes2 temporary
+    (3.2 GB at bigref scale) never materializes."""
     cached = getattr(store, "_packed_dev", None)
     if cached is not None:
         return cached
     import time
     t0 = time.perf_counter()
-    packed = pack2(store.codes2)
-    packed = np.concatenate(
-        [packed, np.zeros(GATHER_PAD_BYTES, np.uint8)])
-    bounds = n_boundaries(store.bases)
-    pack_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    packed_dev = jnp.asarray(packed)
-    bounds_dev = jnp.asarray(bounds)
-    int(packed_dev[-1])        # sync: honest upload timing + bandwidth
-    up_s = max(time.perf_counter() - t0, 1e-9)
-    store._packed_stats = {
-        "pack_host_s": round(pack_s, 2),
-        "upload_s": round(up_s, 2),
-        "upload_mb_s": round(packed.nbytes / up_s / 1e6, 2)}
-    store._packed_dev = (packed_dev, bounds_dev)
+    device_packed_streaming(store)(None)
+    store._packed_stats["upload_wall_s"] = round(
+        time.perf_counter() - t0, 2)
     return store._packed_dev

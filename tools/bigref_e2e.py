@@ -55,6 +55,14 @@ def main():
                          "DEFAULT w=3 index of a 3.2 Gbp genome on chip")
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="read batches in flight after the cold batch")
+    ap.add_argument("--pair-gbp", type=float, default=0.0,
+                    help="after the main capture, rebuild at this genome "
+                         "size with the SAME config in the SAME process "
+                         "and align the same read count — the apples-to-"
+                         "apples per-read-cost-vs-genome-size pair "
+                         "(seed_pos_table.cpp:304-335: per-read work is "
+                         "bounded by num_seeds + the cap, independent of "
+                         "genome size)")
     args = ap.parse_args()
 
     from darwin_tpu.config import Config
@@ -99,6 +107,49 @@ def main():
            "build_stages": _build_stages(store)}
     res.update(align_pipelined(aligner, reads, args.batch,
                                pipeline_depth=args.pipeline_depth))
+
+    if args.pair_gbp > 0:
+        # same code, same process, same config — only the genome scale
+        # changes; compiled programs carry over, so the pair's per-read
+        # numbers are steady-state by construction
+        import gc
+        del aligner, table, reads
+        store = None
+        gc.collect()
+        print(f"pair run at {args.pair_gbp} Gbp ...", flush=True)
+        rng2 = np.random.default_rng(1)
+        store2 = GenomeStore()
+        clen2 = int(args.pair_gbp * 1e9) // n_chrom
+        for c in range(n_chrom):
+            store2.add_chromosome(f"chr{c + 1}", synth_bases(rng2, clen2))
+        store2.finalize()
+        t0 = time.time()
+        table2 = None
+        if args.layout == "csr":
+            table2 = build_seed_table(store2, cfg, layout="csr")
+        aligner2 = Aligner(cfg, store2, table=table2)
+        pair_build = time.time() - t0
+        sim2 = simulate_reads(store2, args.reads, args.read_len, seed=10)
+        reads2 = [make_read(n, s) for n, s, _ in sim2]
+        pair = {"genome_gbp": round(store2.size / 1e9, 3),
+                "seeds_m": round(aligner2.table.num_seeds / 1e6, 1),
+                "build_seconds": round(pair_build, 1),
+                "build_stages": _build_stages(store2)}
+        pair.update(align_pipelined(aligner2, reads2, args.batch,
+                                    pipeline_depth=args.pipeline_depth))
+        res["pair_small"] = pair
+        big, small = res, pair
+        res["scale_pair"] = {
+            "per_read_s_big": round(
+                big["align_seconds"] / big["reads"], 3),
+            "per_read_s_small": round(
+                small["align_seconds"] / small["reads"], 3),
+            "warm_per_read_s_big": round(1 / max(
+                big["warm_reads_per_s"], 1e-9), 3),
+            "warm_per_read_s_small": round(1 / max(
+                small["warm_reads_per_s"], 1e-9), 3),
+        }
+
     print(json.dumps(res))
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
