@@ -151,6 +151,14 @@ class Aligner:
                 bounds = PK.pad_bounds(bounds, max(8, m))
                 self._ref_codes = PK.codes5_from_packed(
                     packed_dev, jnp.asarray(bounds), total)
+                # the decode is the packed genome's last consumer (index
+                # build is done; query transport packs per batch) — drop
+                # the store's cached copy so its ~size/4 bytes free the
+                # moment the decode retires.  At 3.2 Gbp the steady set
+                # (positions + offsets + byte codes) leaves < 1 GB HBM
+                # headroom; keeping the 0.8 GB packed copy resident was
+                # part of the first-batch ResourceExhausted (BIGREF r05).
+                self.store._packed_dev = None
         return self._ref_codes
 
     def _filter_dispatch(self, reads, anchors_per_read, strand, counters,

@@ -36,6 +36,7 @@ import dataclasses
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from darwin_tpu.ops import oracle as orc
@@ -503,8 +504,26 @@ class ExtensionManager:
             m = max(2048, 1 << int(np.ceil(np.log2(bounds.shape[0] + 1))))
             bounds = PK.pad_bounds(bounds, m)
             t0 = mark("ru_pack", t0)
-            self.q_codes_dev = PK.codes5_from_packed(
-                jnp.asarray(pk), jnp.asarray(bounds), len(allq))
+            try:
+                self.q_codes_dev = PK.codes5_from_packed(
+                    jnp.asarray(pk), jnp.asarray(bounds), len(allq))
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # transient HBM pressure: the first batch's upload can
+                # land while the one-time genome decode still holds its
+                # program scratch next to an allocator high-water mark
+                # left by the index build.  Sync the device, release
+                # freed-but-retained buffers, and retry once — lossless,
+                # same contract as the seeder's cap retries.
+                import gc
+                print("[darwin_tpu] read upload hit RESOURCE_EXHAUSTED; "
+                      "syncing device and retrying once", flush=True)
+                if self.ref_codes_dev is not None:
+                    jax.block_until_ready(self.ref_codes_dev)
+                gc.collect()
+                self.q_codes_dev = PK.codes5_from_packed(
+                    jnp.asarray(pk), jnp.asarray(bounds), len(allq))
             mark("ru_enqueue", t0)
 
     def _ref_dev(self):

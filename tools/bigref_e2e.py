@@ -263,5 +263,27 @@ def align_pipelined(aligner, reads, batch_size: int,
     return out
 
 
+def _dump_live_arrays(limit: int = 25):
+    """On OOM: every live device buffer >= 1 MB, largest first — names the
+    resident set that actually exhausted HBM (shapes identify owners)."""
+    import jax
+    arrs = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)
+    total = sum(a.nbytes for a in arrs)
+    print(f"live device arrays: {len(arrs)}, {total / 1e9:.2f} GB total",
+          file=_sys.stderr, flush=True)
+    for a in arrs[:limit]:
+        if a.nbytes < (1 << 20):
+            break
+        print(f"  {a.nbytes / 1e9:7.3f} GB  {a.dtype}{list(a.shape)}",
+              file=_sys.stderr, flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        try:
+            _dump_live_arrays()
+        except Exception:
+            pass
+        raise
