@@ -158,10 +158,16 @@ def chunk_ref_codes(codes: np.ndarray):
 
 
 def _gather_seq(codes, idx_u32):
-    """Gather codes[idx] where codes is 1-D (int32 indices, clipped) or
-    chunked 2-D (uint32 two-level).  Out-of-range indices (padding lanes,
-    including uint32-wrapped ones) return in-bounds garbage — every such
-    lane is masked by the DP's length masking."""
+    """Gather codes[idx] where codes is 1-D (int32 indices, clipped),
+    chunked 2-D (uint32 two-level), or the packed-genome pair
+    (packed_bytes, n_bounds) — 2-bit byte gather + bit extract +
+    N-parity overwrite, no materialized byte buffer (ops/packed.py).
+    Out-of-range indices (padding lanes, including uint32-wrapped ones)
+    return in-bounds garbage / N — every such lane is masked by the DP's
+    length masking."""
+    if isinstance(codes, (tuple, list)):
+        from darwin_tpu.ops.packed import gather_codes5
+        return gather_codes5(codes[0], codes[1], idx_u32)
     if codes.ndim == 1:
         n = codes.shape[0]
         return jnp.take(codes, jnp.clip(idx_u32.astype(jnp.int32),

@@ -115,6 +115,28 @@ def apply_n(codes: jnp.ndarray, pos_u32: jnp.ndarray,
 GATHER_PAD_BYTES = 1 << 13
 
 
+def gather_codes5(packed, bounds, idx_u32):
+    """codes5[idx] gathered straight from the resident packed genome:
+    byte gather + bit extract + N-parity overwrite — the
+    no-materialization form of ``codes5_from_packed`` for ref-tile
+    gathers.  At 3.2 Gbp the decoded byte buffer is 3.2 GB of HBM next
+    to a 7.5 GB seed table; gathering from the 0.8 GB packed copy keeps
+    the steady set ~8.4 GB (BIGREF r05's first-batch ResourceExhausted).
+
+    Positions past the packed data clip to the last byte; the caller's
+    bounds list must cover everything past the genome with an N run
+    (align.Aligner._ref_codes_dev appends [size, 0xFFFFFFFF]), so every
+    out-of-range or uint32-wrapped index reads 4 — the same fill the
+    chunk-padded byte layout returned.  Byte index fits int32 for any
+    uint32 address space (2^32 bases = 2^30 bytes)."""
+    if idx_u32.dtype != jnp.uint32:
+        idx_u32 = idx_u32.astype(jnp.uint32)
+    b = jnp.minimum((idx_u32 >> 2).astype(jnp.int32), packed.shape[0] - 1)
+    byte = jnp.take(packed, b)
+    code = (byte >> ((idx_u32 & 3).astype(jnp.uint8) << 1)) & jnp.uint8(3)
+    return apply_n(code, idx_u32, bounds)
+
+
 @functools.partial(jax.jit, static_argnames=("CL",))
 def gather_rows(packed, gstart_u32, CL: int):
     """Gather (R, CL) uint8 2-bit code rows starting at BYTE-ALIGNED

@@ -133,32 +133,25 @@ class Aligner:
                 self._ref_codes = self.mesh_dispatch.put_replicated(
                     chunk_ref_codes(encode5(bases)))
             else:
-                # 2-bit packed genome upload (once, memoized on the store)
-                # + on-device decode into the chunk_ref_codes layout: 4x
-                # fewer tunnel bytes than the encode5 upload, identical
-                # buffer (tests/test_packed.py).  The margin rides the
-                # boundary list as one extra N run.
+                # 2-bit packed genome (uploaded once, memoized on the
+                # store) served DIRECTLY to the filter/extension gathers
+                # as a (packed, bounds) pair — dispatch._gather_seq
+                # extracts codes per gathered base.  4x fewer tunnel
+                # bytes than the encode5 upload AND no 1-byte-per-base
+                # device buffer at all: at 3.2 Gbp the decoded 3.2 GB
+                # next to the 7.5 GB seed table exhausted HBM (BIGREF
+                # r05 first-batch ResourceExhausted); the packed form
+                # keeps the steady set ~8.4 GB.  The large-tile margin
+                # and the uint32 tail ride the boundary list as one N
+                # run, matching chunk_ref_codes' pad fill.
                 from darwin_tpu.ops import packed as PK
                 packed_dev, bounds_dev = PK.device_packed(self.store)
-                total = self.store.size + margin
-                # margin run extends to the top of the uint32 address
-                # space so the chunk-padding tail also reads as N (like
-                # chunk_ref_codes' pad fill); only masked lanes reach it
                 bounds = np.concatenate(
                     [np.asarray(bounds_dev),
                      [self.store.size, 0xFFFFFFFF]]).astype(np.uint32)
                 m = 1 << int(np.ceil(np.log2(bounds.shape[0] + 1)))
                 bounds = PK.pad_bounds(bounds, max(8, m))
-                self._ref_codes = PK.codes5_from_packed(
-                    packed_dev, jnp.asarray(bounds), total)
-                # the decode is the packed genome's last consumer (index
-                # build is done; query transport packs per batch) — drop
-                # the store's cached copy so its ~size/4 bytes free the
-                # moment the decode retires.  At 3.2 Gbp the steady set
-                # (positions + offsets + byte codes) leaves < 1 GB HBM
-                # headroom; keeping the 0.8 GB packed copy resident was
-                # part of the first-batch ResourceExhausted (BIGREF r05).
-                self.store._packed_dev = None
+                self._ref_codes = (packed_dev, jnp.asarray(bounds))
         return self._ref_codes
 
     def _filter_dispatch(self, reads, anchors_per_read, strand, counters,
