@@ -279,6 +279,9 @@ def _dump_live_arrays(limit: int = 25):
 
 
 if __name__ == "__main__":
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1: dump stacks, live
     try:
         main()
     except Exception:
