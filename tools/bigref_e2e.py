@@ -87,6 +87,22 @@ def main():
 
     cfg = Config()
     cfg.minimizer_window = args.window  # w=9: table shares HBM w/ genome
+
+    # tunnel bandwidth probe: the packed-genome upload (size/4 bytes)
+    # rides the axon tunnel, whose measured rate has varied 0.7-2 MB/s
+    # between sessions — it bounds build_seconds from below, so record
+    # it next to the number it explains
+    import jax
+    import jax.numpy as jnp
+    probe = np.frombuffer(np.random.default_rng(2).bytes(16 << 20),
+                          np.uint8)
+    jnp.asarray(probe[:1024]).block_until_ready()      # wake the tunnel
+    tp = time.time()
+    jnp.asarray(probe).block_until_ready()
+    tunnel_mb_s = round(16 / (time.time() - tp), 2)
+    print(f"tunnel: {tunnel_mb_s} MB/s "
+          f"(packed genome = {store.size / 4e6:.0f} MB)", flush=True)
+
     t0 = time.time()
     table = None
     if args.layout == "csr":
@@ -104,6 +120,7 @@ def main():
            "layout": args.layout, "window": args.window,
            "seeds_m": round(aligner.table.num_seeds / 1e6, 1),
            "build_seconds": round(build_seconds, 1),
+           "tunnel_mb_s": tunnel_mb_s,
            "build_stages": _build_stages(store)}
     res.update(align_pipelined(aligner, reads, args.batch,
                                pipeline_depth=args.pipeline_depth))

@@ -165,4 +165,7 @@ def main():
 
 
 if __name__ == "__main__":
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1: dump stacks, live
     main()
