@@ -193,7 +193,9 @@ def measure_dispatch(params, kernel_mod, T: int, samples: int = 12,
     return {
         "value": round(float(np.median(vals)), 3),
         "unit": "GCUPS",
-        "n_samples": chains * per,
+        # stats are over the per-window aggregates, not per program
+        "n_windows": chains,
+        "programs_per_window": per,
         "min": round(vals[0], 3),
         "max": round(vals[-1], 3),
     }
@@ -276,7 +278,11 @@ def main():
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 100.0, 4),
         "smoke": smoke,
-        "n_samples": n_win * per_win,
+        # median/min/max are over the n_windows per-window aggregate
+        # GCUPS values (each window = programs_per_window chained
+        # programs timed as one sync), NOT over individual programs
+        "n_windows": n_win,
+        "programs_per_window": per_win,
         "min": round(all_vals[0], 3),
         "max": round(all_vals[-1], 3),
         "windows": windows,

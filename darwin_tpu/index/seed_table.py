@@ -217,6 +217,7 @@ def build_seed_table(store: GenomeStore, cfg,
         provider = device_packed_streaming(store)
         offsets, positions, _n, _stats = build_csr_streaming(
             seqs, k, w, packed_dev=provider)
+        provider(None)   # complete the upload + memoize store._packed_dev
         return SeedTable(
             sorted_hashes=None,
             positions=positions,
@@ -226,7 +227,6 @@ def build_seed_table(store: GenomeStore, cfg,
             kmer_max_occurence=cfg.kmer_max_occurence(store.size),
             bucket_offsets=offsets,
         )
-    codes2 = store.codes2
     # Fixed-shape chunked scan over ALL chromosomes as one work list: one
     # compiled program regardless of chromosome count/lengths, and short
     # sequences (overlap mode indexes every read as a chromosome) share
@@ -263,6 +263,7 @@ def build_seed_table(store: GenomeStore, cfg,
                     if n >= 0:
                         break
                     cap = max(2 * cap, -n + (1 << 22))
+            packed_dev(None)   # complete upload + memoize store._packed_dev
             return SeedTable(
                 sorted_hashes=sh,
                 positions=sp,
@@ -285,6 +286,9 @@ def build_seed_table(store: GenomeStore, cfg,
                 f"falling back to the host build (identical output).{_csr_hint(k)}\n")
     all_hashes = []
     all_pos = []
+    # the full-genome host encode happens ONLY here, on the host path —
+    # the device/stream builds above gather from the packed genome
+    codes2 = store.codes2
     seqs = [(codes2[c.start:c.start + c.length], c.length_unpadded)
             for c in store.chromosomes]
     scans = scan_many_minimizers(seqs, k, w)

@@ -47,7 +47,8 @@ def main():
         "unit": "GCUPS",
         "scoring": {"go": cfg.gap_open, "ge": cfg.gap_extend,
                     "goL": cfg.long_gap_open, "geL": cfg.long_gap_extend},
-        "n_samples": res["n_samples"],
+        "n_windows": res["n_windows"],
+        "programs_per_window": res["programs_per_window"],
         "min": res["min"],
         "max": res["max"],
     }))

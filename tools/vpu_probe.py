@@ -27,13 +27,23 @@ import time
 import numpy as np
 
 
+_CALL_SEED = [0]   # advances per probe() call: the tunnel caches
+                   # identical executions, so repeated probe() calls
+                   # (one per bench window) must never replay a stack
+
+
 def probe(modes=("max", "add", "sel", "shift", "max4"), samples: int = 5):
     """Measure sustained int32 VPU op throughput (Tops) for the given op
     mixes; returns {"platform": ..., mode: {"tops": ..., "ms": ...}}.
 
     Exposed as a library so BENCH artifacts can embed a concurrent
     calibration sample (the shared chip's phase is visible in-artifact:
-    GCUPS alongside the attainable Tops measured seconds apart)."""
+    GCUPS alongside the attainable Tops measured seconds apart).
+
+    Cache hygiene: the warm-up program uses a dedicated throwaway input
+    (never re-timed), and stack contents advance across probe() calls —
+    otherwise the tunnel's execution cache serves repeated programs in
+    ~0 time and inflates the measured Tops (round-5 review finding)."""
     import functools
 
     import jax
@@ -105,7 +115,8 @@ def probe(modes=("max", "add", "sel", "shift", "max4"), samples: int = 5):
 
     NBUF = 8 if platform != "cpu" else 1
     GRID = 8192 if platform != "cpu" else 4
-    rng = np.random.default_rng(0)
+    _CALL_SEED[0] += 1
+    rng = np.random.default_rng(_CALL_SEED[0])
     # ops per element per program: 2 vector ops per rep (x and y updates)
     elems = QT * LANES * GRID * NBUF
     ops_per = 2 * REPS
@@ -117,9 +128,10 @@ def probe(modes=("max", "add", "sel", "shift", "max4"), samples: int = 5):
         f = build(mode, GRID)
         stacks = [jnp.asarray(rng.integers(0, 1 << 20,
                                            size=(NBUF, QT, LANES)),
-                              jnp.int32) for _ in range(samples)]
+                              jnp.int32) for _ in range(samples + 1)]
         jax.block_until_ready(stacks)
-        int(f(stacks[0]))          # compile+warm
+        int(f(stacks[0]))          # compile+warm (throwaway, never timed)
+        stacks = stacks[1:]
         # one long window: enqueue every sample's program, sync once on
         # the last scalar (in-order device stream => all completed); the
         # tunnel round-trip is amortized over the whole chain instead of
