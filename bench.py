@@ -181,12 +181,14 @@ def make_dispatch_bench(params, kernel_mod, T: int):
     return sample
 
 
-def measure_dispatch(params, kernel_mod, T: int, samples: int = 12,
+def measure_dispatch(params, kernel_mod, T: int, samples: int = 48,
                      chains: int = 3) -> dict:
     """One-shot wrapper over make_dispatch_bench: ``chains`` long windows
     of samples/chains programs each; the shared tunnel's phase swings are
     +-20%, so the median window is the honest "typical" number, min/max
-    alongside."""
+    alongside.  16 programs/window ~ 0.8 s of chained compute — the
+    plateau of ROOFLINE.md section 5's window-size sweep (shorter windows
+    under-measure ~15% via the fixed enqueue ramp)."""
     sample = make_dispatch_bench(params, kernel_mod, T)
     per = max(samples // chains, 1)
     vals = sorted(sample(per, seed=i + 1)["gcups"] for i in range(chains))
